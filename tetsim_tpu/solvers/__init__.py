@@ -1,0 +1,24 @@
+"""Solver backends.
+
+Two interchangeable constraint engines behind one substep API, mirroring the
+reference's two-backend structure (SURVEY.md §1 L2):
+
+  * ``neohookean`` — stable Neo-Hookean XPBD, graph-colored Gauss-Seidel
+    (the Softbody.js path; exact-order parity via level scheduling)
+  * ``polar``      — Müller robust-polar-decomposition shape matching,
+    Jacobi iteration (the SoftbodyGPU.js path; embarrassingly parallel)
+  * ``golden``     — sequential NumPy oracle for parity tests
+"""
+from . import common, golden, neohookean, polar  # noqa: F401
+
+ENGINES = {
+    "neohookean": neohookean,
+    "polar": polar,
+}
+
+
+def get_engine(name: str):
+    try:
+        return ENGINES[name]
+    except KeyError:
+        raise ValueError(f"unknown engine {name!r}; available: {sorted(ENGINES)}")

@@ -1,0 +1,51 @@
+"""Substep phases shared by all solver backends.
+
+Canonical semantics follow the reference CPU solver (Softbody.js:195-240):
+  predict -> constraint solve (backend-specific) -> collide -> grab ->
+  velocity update.
+Gravity enters in prediction and world bounds come from params for every
+backend (see params.py for the documented divergences from the reference GPU
+pass ordering).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..params import PhysicsParams
+from ..state import Controls
+
+
+def predict(pos, vel, dt, params: PhysicsParams):
+    """XPBD prediction (Softbody.js:198-202): integrate gravity into
+    velocity, save prev_pos, advect positions."""
+    vel = vel.at[..., 1].add(params.gravity * dt)
+    prev_pos = pos
+    pos = pos + vel * dt
+    return pos, prev_pos, vel
+
+
+def collide(pos, prev_pos, dt, params: PhysicsParams):
+    """World-bounds clamp + ground plane with 'simple friction'
+    (Softbody.js:213-231): tangential position pulled back toward prev_pos
+    by min(1, dt*friction)."""
+    pos = jnp.clip(pos, params.world_min, params.world_max)
+    below = pos[..., 1] < 0.0
+    pos_grounded = pos.at[..., 1].set(jnp.where(below, 0.0, pos[..., 1]))
+    f = prev_pos - pos_grounded
+    k = jnp.minimum(1.0, dt * params.friction)
+    slid = pos_grounded.at[..., 0].add(jnp.where(below, f[..., 0] * k, 0.0))
+    slid = slid.at[..., 2].add(jnp.where(below, f[..., 2] * k, 0.0))
+    return slid
+
+
+def apply_grab(pos, controls: Controls):
+    """Hard position override of the grabbed particle (Softbody.js:233-235)."""
+    n = pos.shape[-2]
+    idx = jnp.arange(n)
+    hit = idx == controls.grab_id
+    return jnp.where(hit[..., None], controls.grab_pos, pos)
+
+
+def velocity_update(pos, prev_pos, dt):
+    """vel = (pos - prev_pos)/dt (Softbody.js:238-239)."""
+    return (pos - prev_pos) / dt
