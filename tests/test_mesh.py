@@ -1,0 +1,91 @@
+"""Mesh loading, rest-state precompute, and coloring tests."""
+import numpy as np
+import pytest
+
+import tetsim_tpu as ts
+from tetsim_tpu.mesh import (
+    rest_state,
+    level_schedule,
+    greedy_color,
+    color_slots,
+    grid_mesh,
+    single_tet_mesh,
+)
+
+
+def test_dragon_counts(dragon):
+    # exact counts from the reference data (SURVEY.md §2.2)
+    assert dragon.num_particles == 1234
+    assert dragon.num_tets == 3840
+    assert dragon.edges.shape == (6222, 2)
+    assert dragon.num_surface_verts == 29800
+    assert dragon.tris.shape == (59657, 3)
+    assert dragon.tets.max() == 1233
+    assert dragon.vis_tet_ids.max() < 3840
+
+
+def test_rest_state_single_tet():
+    mesh = single_tet_mesh()
+    ir, irv, vol, im, rc = rest_state(mesh, density=1000.0)
+    # unit right tet: V = 1/6
+    np.testing.assert_allclose(vol, [1.0 / 6.0], rtol=1e-6)
+    np.testing.assert_allclose(irv, [6.0], rtol=1e-6)
+    # mass lumping: each vertex gets V/4 * density -> inv_mass = 4/(V*density)
+    np.testing.assert_allclose(im, 4.0 / (1000.0 / 6.0), rtol=1e-6)
+    # D = I for this tet, so inv_rest_pose = I
+    np.testing.assert_allclose(ir[0], np.eye(3), atol=1e-6)
+    # rest_centered sums to zero per tet
+    np.testing.assert_allclose(rc.sum(axis=1), 0.0, atol=1e-6)
+
+
+def test_dragon_rest_state_positive_volumes(dragon):
+    _, _, vol, im, _ = rest_state(dragon)
+    assert (vol > 0).all(), "dragon tets must be positively oriented"
+    assert (im > 0).all(), "all dragon particles have mass"
+
+
+@pytest.mark.parametrize("colorer", [level_schedule, greedy_color])
+def test_coloring_valid(dragon, colorer):
+    colors = colorer(dragon.tets, dragon.num_particles)
+    assert colors.min() == 0
+    # no two tets of the same color share a vertex
+    for c in range(colors.max() + 1):
+        flat = dragon.tets[colors == c].reshape(-1)
+        assert len(np.unique(flat)) == len(flat), f"color {c} shares a vertex"
+
+
+def test_level_schedule_order_preserving(dragon):
+    levels = level_schedule(dragon.tets, dragon.num_particles)
+    # any two tets sharing a vertex must be processed in index order
+    vert_last = {}
+    for i, tet in enumerate(dragon.tets):
+        for v in tet:
+            if v in vert_last:
+                j, lj = vert_last[v]
+                assert levels[i] > lj, f"tets {j},{i} share vertex {v} out of order"
+            vert_last[v] = (i, levels[i])
+
+
+def test_color_slots_complete(dragon):
+    colors = greedy_color(dragon.tets, dragon.num_particles)
+    slots = color_slots(colors)
+    filled = slots[slots >= 0]
+    assert len(filled) == dragon.num_tets
+    assert sorted(filled.tolist()) == list(range(dragon.num_tets))
+
+
+def test_grid_mesh_conforming():
+    mesh = grid_mesh(2, 2, 2, cell=1.0)
+    assert mesh.num_tets == 2 * 2 * 2 * 6
+    _, _, vol, _, _ = rest_state(mesh)
+    assert (vol > 0).all()
+    # Kuhn tets each have volume cell^3/6; total fills the block exactly
+    np.testing.assert_allclose(vol, 1.0 / 6.0, rtol=1e-5)
+    np.testing.assert_allclose(vol.sum(), 8.0, rtol=1e-5)
+
+
+def test_build_arrays_device(dragon):
+    arr = ts.build_arrays(dragon, coloring="greedy")
+    assert arr.num_particles == 1234
+    assert arr.num_tets == 3840
+    assert arr.slots.ndim == 2

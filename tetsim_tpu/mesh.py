@@ -119,7 +119,11 @@ def rest_state(mesh: TetMesh, density: float = 1000.0, dtype=np.float32):
     np.add.at(mass, tets[:, 3], pm)
     inv_mass = np.where(mass != 0.0, 1.0 / mass, 0.0).astype(dtype)
 
-    rest_centered = (p - p.mean(axis=1, keepdims=True)).astype(dtype)
+    # centroid with the exact add order used at runtime (polar.solve_shape_match
+    # / SoftbodyGPU.js:162) so that exact rest is a bitwise fixed point of the
+    # shape-matching solve
+    centroid = (((p[:, 0] + p[:, 1]) + p[:, 2]) + p[:, 3]) * dtype(0.25)
+    rest_centered = (p - centroid[:, None, :]).astype(dtype)
     return inv_rest_pose, inv_rest_volume, vol, inv_mass, rest_centered
 
 

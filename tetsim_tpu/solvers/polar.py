@@ -102,31 +102,42 @@ def extract_rotation(a, q0):
 def solve_shape_match(pos, quats, arr: TetArrays):
     """One Jacobi shape-matching iteration: returns (new pos, new quats)."""
     p = pos[arr.tets]  # [M,4,3]
-    centroid = p.mean(axis=-2, keepdims=True)
+    # explicit add order — must match mesh.rest_state's rest centroid so that
+    # exact rest is a bitwise fixed point (A stays exactly symmetric)
+    centroid = (
+        ((p[..., 0, :] + p[..., 1, :]) + p[..., 2, :]) + p[..., 3, :]
+    )[..., None, :] * 0.25
     pc = p - centroid
 
     rest_rot = quat_rotate(arr.rest_centered, quats[..., None, :])  # [M,4,3]
-    # A[r,c] = sum_k rest_k[r] * cur_k[c]  (TransposeMult, SoftbodyGPU.js:90-105)
-    a = mat3.outer_sum(rest_rot, pc)
+    # A[r,c] = sum_k cur_k[r] * rest_k[c] — shape-matching covariance
+    # A_pq = sum p (x) q whose polar rotation maps rest -> current
+    # (TransposeMult, SoftbodyGPU.js:90-105: covariance[col][row] gets
+    # left[col]*right[row] with left=rest, right=current)
+    a = mat3.outer_sum(pc, rest_rot)
 
     identity = jnp.zeros_like(quats).at[..., 3].set(1.0)
     inc = extract_rotation(a, identity)
     quats = quat_normalize(quat_mul(inc, quats))
 
-    goal = quat_rotate(arr.rest_centered, quats[..., None, :]) + centroid  # [M,4,3]
+    # goal corner = rotate(rest_centered, quat) + centroid; since the goal's
+    # base point is the particle's own position, accumulate the *delta*
+    # (goal - corner) instead of absolute goals — algebraically identical to
+    # the reference's volume-weighted average of goal positions
+    # (SoftbodyGPU.js:302-320, weight = rest volume: its 'invVolume' uniform
+    # is 1/(1/V) = V) but exact at rest and accurate far from the origin.
+    delta = quat_rotate(arr.rest_centered, quats[..., None, :]) - pc  # [M,4,3]
 
-    # volume-weighted Jacobi average (SoftbodyGPU.js:302-320); the reference
-    # weights by rest volume (its 'invVolume' uniform is 1/(1/V) = V)
     w = arr.rest_volume  # [M]
     n = pos.shape[-2]
     seg = arr.tets.reshape(-1)
     num = jax.ops.segment_sum(
-        (goal * w[..., None, None]).reshape(-1, 3), seg, num_segments=n
+        (delta * w[..., None, None]).reshape(-1, 3), seg, num_segments=n
     )
     den = jax.ops.segment_sum(
         jnp.broadcast_to(w[..., None], arr.tets.shape).reshape(-1), seg, num_segments=n
     )
-    new_pos = num / den[..., None]
+    new_pos = pos + num / den[..., None]
     return new_pos, quats
 
 
