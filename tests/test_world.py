@@ -1,0 +1,99 @@
+"""World/Body API, skinning, grab round-trip, diagnostics, checkpoint."""
+import numpy as np
+import pytest
+
+import tetsim_tpu as ts
+from tetsim_tpu import checkpoint, diag
+
+
+def test_world_step_dragon(dragon):
+    world = ts.World(ts.default_gpu_params())
+    body = world.add_body(dragon, engine="polar")
+    world.step(frames=3)
+    assert np.isfinite(body.positions).all()
+    d = world.diagnostics()["body0"]
+    assert not d["nan"]
+    assert d["min_height"] >= -1.0 - 1e-6
+
+
+def test_surface_skinning_matches_reference_math(dragon):
+    """Skinned vis verts = barycentric combination of tet corners
+    (Softbody.js:259-273)."""
+    world = ts.World(ts.default_gpu_params())
+    body = world.add_body(dragon, engine="polar")
+    world.step(frames=2)
+
+    pos = body.positions
+    sp = body.surface_positions()
+    # recompute on host
+    ids = dragon.tets[dragon.vis_tet_ids]  # [S,4]
+    b = dragon.vis_bary
+    w = np.concatenate([b, 1 - b.sum(1, keepdims=True)], axis=1)
+    expect = (pos[ids] * w[..., None]).sum(axis=1)
+    np.testing.assert_allclose(sp, expect, atol=1e-6)
+    assert sp.shape == (29800, 3)
+
+
+def test_surface_mesh_normals(dragon):
+    world = ts.World(ts.default_gpu_params())
+    body = world.add_body(dragon, engine="polar")
+    verts, normals, tris = body.surface_mesh()
+    assert verts.shape == (29800, 3)
+    assert normals.shape == (29800, 3)
+    assert tris.shape == (59657, 3)
+    np.testing.assert_allclose(np.linalg.norm(normals, axis=1), 1.0, atol=1e-4)
+
+
+@pytest.mark.parametrize("engine", ["neohookean", "polar"])
+def test_grab_round_trip(small_mesh, engine):
+    world = ts.World(ts.PhysicsParams(num_substeps=5))
+    body = world.add_body(small_mesh, engine=engine)
+    world.step(frames=2)
+    # grab near a known vertex
+    target_vertex = body.positions[7]
+    gid = body.start_grab(target_vertex + 1e-4)
+    assert gid == 7
+    body.move_grabbed([0.0, 1.0, 0.0])
+    world.step(frames=10)
+    np.testing.assert_allclose(body.positions[7], [0.0, 1.0, 0.0], atol=1e-6)
+    body.end_grab()
+    world.step(frames=20)
+    assert body.positions[7][1] < 0.9  # released, gravity wins
+
+
+def test_two_bodies_independent(small_mesh):
+    world = ts.World(ts.PhysicsParams(num_substeps=5))
+    b1 = world.add_body(small_mesh, engine="neohookean")
+    b2 = world.add_body(small_mesh, engine="polar")
+    world.step(frames=5)
+    assert np.isfinite(b1.positions).all()
+    assert np.isfinite(b2.positions).all()
+    # engines differ -> trajectories differ
+    assert np.abs(b1.positions - b2.positions).max() > 1e-4
+
+
+def test_checkpoint_resume_exact(small_mesh, tmp_path):
+    params = ts.PhysicsParams(num_substeps=5)
+    world = ts.World(params)
+    body = world.add_body(small_mesh, engine="neohookean")
+    world.step(frames=5)
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save(path, body.state)
+
+    # continue 5 more frames
+    world.step(frames=5)
+    ref = body.positions.copy()
+
+    # restore and replay
+    body.state = checkpoint.load(path)
+    world.step(frames=5)
+    np.testing.assert_array_equal(body.positions, ref)
+
+
+def test_diag_values(small_mesh):
+    world = ts.World(ts.PhysicsParams(num_substeps=5))
+    body = world.add_body(small_mesh)
+    world.step(frames=1)
+    d = diag.summarize(body.state, body.arrays, body.last_diag)
+    assert set(d) >= {"volume_error", "kinetic_energy", "max_speed", "min_height", "nan"}
+    assert d["kinetic_energy"] >= 0.0

@@ -1,0 +1,54 @@
+"""Diagnostics & observability — first-class versions of the reference's
+ad-hoc signals (volError running average Softbody.js:163,206-209; FPS meter
+World.js:95-97; debug texture plane SoftbodyGPU.js:383-390)."""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .mesh import TetArrays
+from .state import SimState
+from .utils import mat3
+
+
+@jax.jit
+def volume_error(state: SimState, arr: TetArrays):
+    """Mean (det F - 1) over tets — the reference's volError diagnostic."""
+    p = state.pos[arr.tets]
+    d = jnp.stack(
+        [p[..., 1, :] - p[..., 0, :], p[..., 2, :] - p[..., 0, :], p[..., 3, :] - p[..., 0, :]],
+        axis=-1,
+    )
+    f = mat3.matmul(d, arr.inv_rest_pose)
+    return jnp.mean(mat3.det(f) - 1.0)
+
+
+@jax.jit
+def kinetic_energy(state: SimState, arr: TetArrays):
+    """0.5 * sum m |v|^2 (pinned particles with inv_mass 0 excluded)."""
+    m = jnp.where(arr.inv_mass > 0, 1.0 / jnp.maximum(arr.inv_mass, 1e-30), 0.0)
+    return 0.5 * jnp.sum(m * jnp.sum(state.vel**2, axis=-1))
+
+
+@jax.jit
+def max_speed(state: SimState):
+    return jnp.max(jnp.linalg.norm(state.vel, axis=-1))
+
+
+@jax.jit
+def min_height(state: SimState):
+    return jnp.min(state.pos[..., 1])
+
+
+def summarize(state: SimState, arr: TetArrays, frame_diag=None) -> dict:
+    out = {
+        "volume_error": float(volume_error(state, arr)),
+        "kinetic_energy": float(kinetic_energy(state, arr)),
+        "max_speed": float(max_speed(state)),
+        "min_height": float(min_height(state)),
+        "nan": bool(jnp.isnan(state.pos).any()),
+    }
+    if frame_diag is not None:
+        out["solver_vol_error"] = float(np.asarray(frame_diag)[-1])
+    return out

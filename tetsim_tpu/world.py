@@ -1,0 +1,169 @@
+"""Scene/world API — the rebuild of the reference's Main/World/Grabber layers
+(main.js:9-112, World.js, Softbody.js:414-492) minus the browser: bodies are
+added to a World, `world.step()` advances every body by one frame (the whole
+numSubsteps loop runs inside one jitted call, main.js:79-84), and render data
+(wireframe positions, skinned surface vertices, normals) is produced on
+device and exported on demand.
+
+Grab interaction mirrors the reference API (startGrab/moveGrabbed/endGrab,
+Softbody.js:279-298) but the nearest-particle search is an on-device argmin
+instead of the reference GPU path's full texture readback + CPU linear scan
+(SoftbodyGPU.js:788-795 — a pipeline stall the rebuild avoids by design).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .mesh import TetMesh, TetArrays, build_arrays
+from .params import PhysicsParams
+from .state import SimState, Controls, init_state
+from .solvers import get_engine
+
+
+@functools.partial(jax.jit, static_argnames=("engine_name",))
+def _step_frame(engine_name, state, arr, params, controls):
+    return get_engine(engine_name).step_frame(state, arr, params, controls)
+
+
+@jax.jit
+def _nearest_particle(pos, point):
+    d2 = jnp.sum((pos - point) ** 2, axis=-1)
+    return jnp.argmin(d2).astype(jnp.int32)
+
+
+@jax.jit
+def _skin_surface(pos, skin_ids, skin_w):
+    """Barycentric surface skinning (Softbody.js:259-273): vis vert = sum of
+    its tet's 4 particle positions weighted by (b0,b1,b2,1-b0-b1-b2)."""
+    return jnp.sum(pos[skin_ids] * skin_w[..., None], axis=-2)
+
+
+@jax.jit
+def _vertex_normals(verts, tris):
+    """Area-weighted vertex normals via segment_sum (the device-side
+    equivalent of three.js computeVertexNormals, Softbody.js:274)."""
+    p0, p1, p2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+    fn = jnp.cross(p1 - p0, p2 - p0)  # area-weighted
+    n = jnp.zeros_like(verts)
+    for k in range(3):
+        n = n.at[tris[:, k]].add(fn)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return n / jnp.maximum(norm, 1e-12)
+
+
+class Body:
+    """One soft body: mesh constants + simulation state + interaction.
+
+    API shape mirrors the reference SoftBody/SoftBodyGPU (Softbody.js:4-5,
+    simulate/endFrame/startGrab/moveGrabbed/endGrab) re-expressed
+    functionally."""
+
+    def __init__(
+        self,
+        mesh: TetMesh,
+        engine: str = "neohookean",
+        coloring: str = "ordered",
+        density: float = 1000.0,
+        arrays: Optional[TetArrays] = None,
+    ):
+        self.mesh = mesh
+        self.engine = engine
+        self.arrays = arrays if arrays is not None else build_arrays(
+            mesh, density=density, coloring=coloring
+        )
+        self.state = init_state(mesh)
+        self.controls = Controls.none()
+        self.last_diag = None
+
+        if mesh.vis_tet_ids is not None:
+            self._skin_ids = jnp.asarray(mesh.tets[mesh.vis_tet_ids])  # [S,4]
+            b = mesh.vis_bary
+            w = np.concatenate([b, 1.0 - b.sum(axis=1, keepdims=True)], axis=1)
+            self._skin_w = jnp.asarray(w.astype(np.float32))  # [S,4]
+            self._tris = jnp.asarray(mesh.tris)
+        else:
+            self._skin_ids = None
+
+    # -- stepping ---------------------------------------------------------
+    def step(self, params: PhysicsParams):
+        self.state, diag = _step_frame(
+            self.engine, self.state, self.arrays, params, self.controls
+        )
+        self.last_diag = diag
+        return diag
+
+    # -- interaction (Softbody.js:279-298 semantics) -----------------------
+    def start_grab(self, point) -> int:
+        point = jnp.asarray(point, jnp.float32)
+        gid = _nearest_particle(self.state.pos, point)
+        self.controls = Controls(grab_id=gid, grab_pos=point)
+        return int(gid)
+
+    def move_grabbed(self, point):
+        self.controls = self.controls.replace(
+            grab_pos=jnp.asarray(point, jnp.float32)
+        )
+
+    def end_grab(self):
+        self.controls = Controls.none()
+
+    # -- render-data export (endFrame analogue, Softbody.js:244-277) -------
+    @property
+    def positions(self) -> np.ndarray:
+        """Particle positions (= the reference's edgeMesh vertex buffer)."""
+        return np.asarray(self.state.pos)
+
+    def surface_positions(self) -> np.ndarray:
+        """Skinned embedded-surface vertices [S,3]."""
+        if self._skin_ids is None:
+            raise ValueError("mesh has no embedded render surface")
+        return np.asarray(_skin_surface(self.state.pos, self._skin_ids, self._skin_w))
+
+    def surface_mesh(self):
+        """(positions [S,3], normals [S,3], triangles [T,3]) for a viewer —
+        all computed on device, one transfer."""
+        if self._skin_ids is None:
+            raise ValueError("mesh has no embedded render surface")
+        verts = _skin_surface(self.state.pos, self._skin_ids, self._skin_w)
+        normals = _vertex_normals(verts, self._tris)
+        return np.asarray(verts), np.asarray(normals), np.asarray(self.mesh.tris)
+
+
+class World:
+    """Scene container + frame loop (main.js:51,74-96 analogue)."""
+
+    def __init__(self, params: Optional[PhysicsParams] = None):
+        self.params = params if params is not None else PhysicsParams()
+        self.bodies: list[Body] = []
+
+    def add_body(
+        self,
+        mesh: TetMesh,
+        engine: str = "neohookean",
+        coloring: str = "ordered",
+        density: Optional[float] = None,
+    ) -> Body:
+        d = float(self.params.density) if density is None else density
+        body = Body(mesh, engine=engine, coloring=coloring, density=d)
+        self.bodies.append(body)
+        return body
+
+    def step(self, frames: int = 1):
+        """Advance all bodies; each frame runs the full substep loop in one
+        jitted device call per body."""
+        for _ in range(frames):
+            for body in self.bodies:
+                body.step(self.params)
+
+    def diagnostics(self) -> dict:
+        from . import diag
+
+        return {
+            f"body{i}": diag.summarize(b.state, b.arrays, b.last_diag)
+            for i, b in enumerate(self.bodies)
+        }
