@@ -88,4 +88,15 @@ def test_build_arrays_device(dragon):
     arr = ts.build_arrays(dragon, coloring="greedy")
     assert arr.num_particles == 1234
     assert arr.num_tets == 3840
-    assert arr.slots.ndim == 2
+    # slot-major schedule: every real tet appears exactly once
+    assert arr.slot_tets.ndim == 3
+    assert int(arr.slot_valid.sum()) == 3840
+    # invalid slots are fully masked (zero constants)
+    sv = np.asarray(arr.slot_valid)
+    assert np.all(np.asarray(arr.slot_inv_rest_volume)[~sv] == 0.0)
+
+
+def test_build_arrays_no_schedule(dragon):
+    arr = ts.build_arrays(dragon, coloring=None)
+    assert arr.slot_tets is None
+    assert arr.rest_centered.shape == (3840, 4, 3)

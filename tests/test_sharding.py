@@ -1,0 +1,88 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh (SURVEY.md §4:
+shard vs unsharded tolerance comparison)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+import tetsim_tpu as ts
+from tetsim_tpu import parallel
+from tetsim_tpu.solvers import get_engine
+
+
+def _unsharded_run(mesh_obj, engine, params, frames):
+    arr = ts.build_arrays(mesh_obj)
+    state = ts.init_state(mesh_obj)
+    controls = ts.Controls.none()
+    step = jax.jit(get_engine(engine).step_frame)
+    for _ in range(frames):
+        state, _ = step(state, arr, params, controls)
+    return np.asarray(state.pos)
+
+
+def _sharded_run(mesh_obj, engine, params, frames, tet_axis="tet", n_dev=8):
+    devs = np.array(jax.devices()[:n_dev])
+    mesh = Mesh(devs, (tet_axis,))
+    arr = ts.build_arrays(mesh_obj)
+    state = ts.init_state(mesh_obj)
+    state, arr = parallel.prepare(state, arr, mesh, engine=engine, tet_axis=tet_axis)
+    step = parallel.make_sharded_step(mesh, engine=engine, tet_axis=tet_axis)
+    controls = ts.Controls.none()
+    for _ in range(frames):
+        state, _ = step(state, arr, params, controls)
+    return np.asarray(state.pos)
+
+
+def test_polar_sharded_matches_unsharded(small_mesh):
+    params = ts.PhysicsParams(num_substeps=8)
+    ref = _unsharded_run(small_mesh, "polar", params, frames=5)
+    out = _sharded_run(small_mesh, "polar", params, frames=5)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_neohookean_sharded_matches_unsharded(small_mesh):
+    params = ts.PhysicsParams(num_substeps=5)
+    ref = _unsharded_run(small_mesh, "neohookean", params, frames=5)
+    out = _sharded_run(small_mesh, "neohookean", params, frames=5)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_body_batch_sharded(small_mesh):
+    """2-D mesh (body, tet): 4-way body DP x 2-way tet sharding."""
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("body", "tet"))
+    params = ts.PhysicsParams(num_substeps=4)
+
+    arr = ts.build_arrays(small_mesh)
+    state0 = ts.init_state(small_mesh)
+    batched = parallel.batch_state(state0, 8)
+    batched, arr = parallel.prepare(
+        batched, arr, mesh, engine="polar", tet_axis="tet", body_axis="body"
+    )
+    controls = parallel.batch_controls(8)
+    controls = parallel.place(controls, parallel.control_specs("body"), mesh)
+
+    step = parallel.make_sharded_step(
+        mesh, engine="polar", tet_axis="tet", body_axis="body"
+    )
+    state, diags = step(batched, arr, params, controls)
+    pos = np.asarray(state.pos)
+    assert pos.shape[0] == 8
+    assert np.isfinite(pos).all()
+    # identical initial bodies stay identical under DP
+    for b in range(1, 8):
+        np.testing.assert_allclose(pos[b], pos[0], atol=1e-6)
+    # and match a single unsharded body
+    ref = _unsharded_run(small_mesh, "polar", params, frames=1)
+    np.testing.assert_allclose(pos[0], ref, atol=2e-5)
+
+
+def test_batch_state_jitter():
+    mesh_obj = ts.grid_mesh(2, 2, 2, cell=0.25, origin=(0.0, 1.0, 0.0))
+    state = ts.init_state(mesh_obj)
+    b = parallel.batch_state(state, 4, jitter=0.5, seed=1)
+    assert b.pos.shape == (4,) + state.pos.shape
+    offs = np.asarray(b.pos - state.pos[None])
+    assert not np.allclose(offs[0], offs[1])

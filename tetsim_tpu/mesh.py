@@ -187,7 +187,16 @@ def color_slots(colors: np.ndarray) -> np.ndarray:
 
 @struct.dataclass
 class TetArrays:
-    """Device-resident per-mesh constants used by the solvers."""
+    """Device-resident per-mesh constants used by the solvers.
+
+    The colored Gauss-Seidel schedule is stored *slot-major*: per-level,
+    per-slot copies of every per-tet constant (``slot_*``, [L,Cmax,...]),
+    pre-gathered on the host at build time.  The runtime level loop then
+    performs **zero tet-indexed gathers** — its only dynamic memory traffic
+    is the particle gather/scatter, which is the physical communication of
+    the algorithm (the reference pays the same two table lookups per texel,
+    SoftbodyGPU.js:29-42).  Slot arrays are None for engines that do not use
+    the GS schedule (polar)."""
 
     tets: jnp.ndarray  # int32 [M,4]
     inv_rest_pose: jnp.ndarray  # f32 [M,3,3]
@@ -195,7 +204,11 @@ class TetArrays:
     rest_volume: jnp.ndarray  # f32 [M]
     inv_mass: jnp.ndarray  # f32 [N]
     rest_centered: jnp.ndarray  # f32 [M,4,3]
-    slots: jnp.ndarray  # int32 [L,Cmax]  colored GS schedule (-1 padded)
+    # -- colored-GS schedule, slot-major (None when not built) --
+    slot_tets: Optional[jnp.ndarray] = None  # int32 [L,C,4]
+    slot_inv_rest_pose: Optional[jnp.ndarray] = None  # f32 [L,C,3,3]
+    slot_inv_rest_volume: Optional[jnp.ndarray] = None  # f32 [L,C]
+    slot_valid: Optional[jnp.ndarray] = None  # bool [L,C]
 
     @property
     def num_particles(self) -> int:
@@ -206,22 +219,41 @@ class TetArrays:
         return self.tets.shape[-2]
 
 
+def build_schedule(colors: np.ndarray, tets, inv_rest_pose, inv_rest_volume):
+    """Pre-gather per-tet constants into slot-major [L,Cmax,...] arrays."""
+    slots = color_slots(colors)  # [L,C], -1 padded
+    valid = slots >= 0
+    e = np.where(valid, slots, 0)
+    slot_tets = tets[e].astype(np.int32)
+    slot_tets[~valid] = 0
+    slot_irp = inv_rest_pose[e]
+    slot_irp[~valid] = 0.0
+    slot_irv = inv_rest_volume[e]
+    slot_irv[~valid] = 0.0
+    return slot_tets, slot_irp, slot_irv, valid
+
+
 def build_arrays(
-    mesh: TetMesh, density: float = 1000.0, coloring: str = "ordered"
+    mesh: TetMesh, density: float = 1000.0, coloring: Optional[str] = "ordered"
 ) -> TetArrays:
     """Precompute everything the solvers need and move it to device.
 
-    coloring: "ordered" (level schedule, exact CPU-reference GS order) or
-    "greedy" (fewest colors, fastest).
+    coloring: "ordered" (level schedule, exact CPU-reference GS order),
+    "greedy" (fewest colors, fastest — a different but equally valid
+    Gauss-Seidel constraint order), or None (no GS schedule; polar engine).
     """
     ir, irv, vol, im, rc = rest_state(mesh, density)
+    sched = (None, None, None, None)
     if coloring == "ordered":
         colors = level_schedule(mesh.tets, mesh.num_particles)
+        sched = build_schedule(colors, mesh.tets, ir, irv)
     elif coloring == "greedy":
         colors = greedy_color(mesh.tets, mesh.num_particles)
-    else:
+        sched = build_schedule(colors, mesh.tets, ir, irv)
+    elif coloring is not None:
         raise ValueError(f"unknown coloring {coloring!r}")
-    slots = color_slots(colors)
+    st, sp, sv, sd = sched
+    as_j = lambda x: None if x is None else jnp.asarray(x)
     return TetArrays(
         tets=jnp.asarray(mesh.tets),
         inv_rest_pose=jnp.asarray(ir),
@@ -229,7 +261,10 @@ def build_arrays(
         rest_volume=jnp.asarray(vol),
         inv_mass=jnp.asarray(im),
         rest_centered=jnp.asarray(rc),
-        slots=jnp.asarray(slots),
+        slot_tets=as_j(st),
+        slot_inv_rest_pose=as_j(sp),
+        slot_inv_rest_volume=as_j(sv),
+        slot_valid=as_j(sd),
     )
 
 

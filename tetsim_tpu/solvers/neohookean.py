@@ -81,50 +81,86 @@ def solve_tet_batch(p, inv_rest_pose, inv_rest_volume, w_inv, dt, params: Physic
     return d_dev + d_vol, det - 1.0
 
 
-def project_constraints(pos, arr: TetArrays, dt, params: PhysicsParams):
+def project_constraints(pos, arr: TetArrays, dt, params: PhysicsParams, axis_name=None):
     """Colored Gauss-Seidel sweep: scan over color levels, vectorized within
-    each level.  Returns (pos, mean volume error diagnostic)."""
+    each level.  Returns (pos, mean volume error diagnostic).
 
-    def level_body(carry, slots_row):
+    The per-level tet constants are slot-major (pre-gathered at build time,
+    mesh.build_schedule) so each level touches memory only through the
+    particle gather/scatter.
+
+    When ``axis_name`` is given, each level's slot columns are a local shard
+    of a mesh axis: the level's position deltas are densified with
+    segment_sum and combined with ``lax.psum`` so every chip sees the full
+    Gauss-Seidel update before the next level — tets within a level are
+    vertex-disjoint, so cross-shard sums never race."""
+    if arr.slot_tets is None:
+        raise ValueError(
+            "neohookean engine needs a GS schedule: build_arrays(..., "
+            "coloring='ordered'|'greedy')"
+        )
+
+    def level_body(carry, level):
         pos, vol_err = carry
-        valid = slots_row >= 0
-        e = jnp.where(valid, slots_row, 0)
-        ids = arr.tets[e]  # [C,4]
+        ids, irp, irv, valid = level  # [C,4], [C,3,3], [C], [C]
         p = pos[ids]
         delta, verr = solve_tet_batch(
-            p,
-            arr.inv_rest_pose[e],
-            arr.inv_rest_volume[e],
-            arr.inv_mass[ids],
-            dt,
-            params,
+            p, irp, irv, arr.inv_mass[ids], dt, params
         )
         delta = jnp.where(valid[:, None, None], delta, 0.0)
-        pos = pos.at[ids].add(delta, mode="drop")
+        if axis_name is None:
+            pos = pos.at[ids].add(delta, mode="drop")
+        else:
+            dense = jax.ops.segment_sum(
+                delta.reshape(-1, 3),
+                jnp.where(valid[:, None], ids, pos.shape[-2]).reshape(-1),
+                num_segments=pos.shape[-2],
+            )
+            pos = pos + jax.lax.psum(dense, axis_name)
         vol_err = vol_err + jnp.sum(jnp.where(valid, verr, 0.0))
         return (pos, vol_err), None
 
-    (pos, vol_err), _ = jax.lax.scan(level_body, (pos, jnp.float32(0.0)), arr.slots)
+    (pos, vol_err), _ = jax.lax.scan(
+        level_body,
+        (pos, jnp.float32(0.0)),
+        (arr.slot_tets, arr.slot_inv_rest_pose, arr.slot_inv_rest_volume, arr.slot_valid),
+    )
+    vol_err = (
+        vol_err if axis_name is None else jax.lax.psum(vol_err, axis_name)
+    )
     return pos, vol_err / arr.num_tets
 
 
-def substep(state: SimState, arr: TetArrays, params: PhysicsParams, dt, controls: Controls):
+def substep(
+    state: SimState,
+    arr: TetArrays,
+    params: PhysicsParams,
+    dt,
+    controls: Controls,
+    axis_name=None,
+):
     """One XPBD substep (Softbody.js:195-240 semantics)."""
     pos, prev_pos, vel = common.predict(state.pos, state.vel, dt, params)
-    pos, vol_err = project_constraints(pos, arr, dt, params)
+    pos, vol_err = project_constraints(pos, arr, dt, params, axis_name=axis_name)
     pos = common.collide(pos, prev_pos, dt, params)
     pos = common.apply_grab(pos, controls)
     vel = common.velocity_update(pos, prev_pos, dt)
     return state.replace(pos=pos, prev_pos=prev_pos, vel=vel), vol_err
 
 
-def step_frame(state: SimState, arr: TetArrays, params: PhysicsParams, controls: Controls):
+def step_frame(
+    state: SimState,
+    arr: TetArrays,
+    params: PhysicsParams,
+    controls: Controls,
+    axis_name=None,
+):
     """One frame = params.num_substeps substeps inside a single trace
     (main.js:79-84 outer loop, moved device-side)."""
     dt = params.dt
 
     def body(state, _):
-        state, vol_err = substep(state, arr, params, dt, controls)
+        state, vol_err = substep(state, arr, params, dt, controls, axis_name=axis_name)
         return state, vol_err
 
     state, vol_errs = jax.lax.scan(body, state, None, length=params.num_substeps)

@@ -99,8 +99,14 @@ def extract_rotation(a, q0):
     return jax.lax.fori_loop(0, _EXTRACT_ITERS, body, q0, unroll=True)
 
 
-def solve_shape_match(pos, quats, arr: TetArrays):
-    """One Jacobi shape-matching iteration: returns (new pos, new quats)."""
+def solve_shape_match(pos, quats, arr: TetArrays, axis_name=None):
+    """One Jacobi shape-matching iteration: returns (new pos, new quats).
+
+    When ``axis_name`` is given the tet arrays are a local shard of a mesh
+    axis: the per-particle numerator/denominator accumulators are partial
+    sums over local tets and are combined with ``lax.psum`` over ICI —
+    the multi-chip generalization of the reference's scatter-table pass
+    (SoftbodyGPU.js:302-320)."""
     p = pos[arr.tets]  # [M,4,3]
     # explicit add order — must match mesh.rest_state's rest centroid so that
     # exact rest is a bitwise fixed point (A stays exactly symmetric)
@@ -137,26 +143,42 @@ def solve_shape_match(pos, quats, arr: TetArrays):
     den = jax.ops.segment_sum(
         jnp.broadcast_to(w[..., None], arr.tets.shape).reshape(-1), seg, num_segments=n
     )
-    new_pos = pos + num / den[..., None]
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    new_pos = pos + num / jnp.maximum(den[..., None], _EPS)
     return new_pos, quats
 
 
-def substep(state: SimState, arr: TetArrays, params: PhysicsParams, dt, controls: Controls):
+def substep(
+    state: SimState,
+    arr: TetArrays,
+    params: PhysicsParams,
+    dt,
+    controls: Controls,
+    axis_name=None,
+):
     """One XPBD substep with the Jacobi polar solve."""
     pos, prev_pos, vel = common.predict(state.pos, state.vel, dt, params)
-    pos, quats = solve_shape_match(pos, state.quats, arr)
+    pos, quats = solve_shape_match(pos, state.quats, arr, axis_name=axis_name)
     pos = common.collide(pos, prev_pos, dt, params)
     pos = common.apply_grab(pos, controls)
     vel = common.velocity_update(pos, prev_pos, dt)
     return state.replace(pos=pos, prev_pos=prev_pos, vel=vel, quats=quats), jnp.float32(0.0)
 
 
-def step_frame(state: SimState, arr: TetArrays, params: PhysicsParams, controls: Controls):
+def step_frame(
+    state: SimState,
+    arr: TetArrays,
+    params: PhysicsParams,
+    controls: Controls,
+    axis_name=None,
+):
     """One frame = params.num_substeps substeps in a single trace."""
     dt = params.dt
 
     def body(state, _):
-        state, diag = substep(state, arr, params, dt, controls)
+        state, diag = substep(state, arr, params, dt, controls, axis_name=axis_name)
         return state, diag
 
     state, diags = jax.lax.scan(body, state, None, length=params.num_substeps)

@@ -67,12 +67,16 @@ class Body:
         self,
         mesh: TetMesh,
         engine: str = "neohookean",
-        coloring: str = "ordered",
+        coloring: Optional[str] = "auto",
         density: float = 1000.0,
         arrays: Optional[TetArrays] = None,
     ):
         self.mesh = mesh
         self.engine = engine
+        if coloring == "auto":
+            # polar is Jacobi — no GS schedule needed (skip the host-side
+            # coloring pass entirely)
+            coloring = "ordered" if engine == "neohookean" else None
         self.arrays = arrays if arrays is not None else build_arrays(
             mesh, density=density, coloring=coloring
         )
@@ -145,7 +149,7 @@ class World:
         self,
         mesh: TetMesh,
         engine: str = "neohookean",
-        coloring: str = "ordered",
+        coloring: Optional[str] = "auto",
         density: Optional[float] = None,
     ) -> Body:
         d = float(self.params.density) if density is None else density
