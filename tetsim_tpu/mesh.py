@@ -134,7 +134,15 @@ def rest_state(mesh: TetMesh, density: float = 1000.0, dtype=np.float32):
 
 def level_schedule(tets: np.ndarray, num_particles: int) -> np.ndarray:
     """Order-preserving level assignment: ``level[i] = 1 + max(level[j])``
-    over earlier tets j sharing a vertex with i.  Returns int32[M]."""
+    over earlier tets j sharing a vertex with i.  Returns int32[M].
+
+    Uses the native C++ kernel when available (same algorithm; the Python
+    loop below is the reference implementation and fallback)."""
+    from . import native
+
+    out = native.level_schedule(tets, num_particles)
+    if out is not None:
+        return out
     vert_level = np.full(num_particles, -1, np.int64)
     levels = np.empty(tets.shape[0], np.int32)
     for i, tet in enumerate(tets):
@@ -147,7 +155,14 @@ def level_schedule(tets: np.ndarray, num_particles: int) -> np.ndarray:
 def greedy_color(tets: np.ndarray, num_particles: int) -> np.ndarray:
     """First-fit greedy coloring of the tet conflict graph (tets conflict if
     they share a vertex).  Returns int32[M]; typically far fewer colors than
-    the level schedule, but does not preserve Gauss-Seidel order."""
+    the level schedule, but does not preserve Gauss-Seidel order.
+
+    Uses the native C++ kernel when available (same first-fit algorithm)."""
+    from . import native
+
+    out = native.greedy_color(tets, num_particles)
+    if out is not None:
+        return out
     m = tets.shape[0]
     colors = np.full(m, -1, np.int32)
     # per-vertex bitmask of colors used by incident tets
@@ -169,6 +184,11 @@ def greedy_color(tets: np.ndarray, num_particles: int) -> np.ndarray:
 def color_slots(colors: np.ndarray) -> np.ndarray:
     """Pack per-tet color ids into a dense schedule int32[L, Cmax]: row c
     lists the tet indices of color c in ascending order, padded with -1."""
+    from . import native
+
+    out = native.color_slots(colors)
+    if out is not None:
+        return out
     num_colors = int(colors.max()) + 1
     counts = np.bincount(colors, minlength=num_colors)
     cmax = int(counts.max())
