@@ -1,0 +1,118 @@
+"""Viewer protocol tests: mesh/state blobs, grab round trip, params, reset —
+driven over real HTTP against a live ViewerServer."""
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+import tetsim_tpu as ts
+from tetsim_tpu.viewer import ViewerServer
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=10) as r:
+        return r.read()
+
+
+def _post(port, path, obj):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=json.dumps(obj).encode(), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def _split_blob(blob):
+    nl = blob.index(b"\n")
+    return json.loads(blob[:nl]), blob[nl + 1:]
+
+
+@pytest.fixture(scope="module")
+def server():
+    world = ts.World(ts.PhysicsParams(num_substeps=2))
+    world.add_body(ts.load_dragon(), engine="polar")
+    srv = ViewerServer(world, port=0, fps=30.0).start()
+    yield srv
+    srv.stop()
+
+
+def test_mesh_blob(server):
+    hdr, payload = _split_blob(_get(server.port, "/mesh"))
+    assert hdr["n_vis"] == 29800
+    assert hdr["n_particles"] == 1234
+    assert hdr["n_tris"] == 59657
+    assert hdr["n_edges"] == 6222
+    assert len(payload) == (hdr["n_tris"] * 3 + hdr["n_edges"] * 2) * 4
+
+
+def test_state_blob_advances(server):
+    import time
+
+    hdr1, payload = _split_blob(_get(server.port, "/state"))
+    n = (29800 * 3 + 29800 * 3 + 1234 * 3) * 4
+    assert len(payload) == n
+    verts = np.frombuffer(payload[: 29800 * 12], "<f4")
+    assert np.isfinite(verts).all()
+    time.sleep(0.3)
+    hdr2, _ = _split_blob(_get(server.port, "/state"))
+    assert hdr2["frame"] > hdr1["frame"], "sim thread must advance frames"
+
+
+def test_grab_round_trip(server):
+    # aim a ray at the body's current centroid from above-front
+    pos = server.body.positions
+    c = pos.mean(axis=0)
+    origin = c + np.array([0.0, 0.5, 2.0], np.float32)
+    d = (c - origin) / np.linalg.norm(c - origin)
+    out = _post(server.port, "/grab",
+                {"action": "start", "origin": origin.tolist(), "dir": d.tolist()})
+    assert out["grabbed"] >= 0
+    gid = out["grabbed"]
+
+    # drag it upward: move along a ray pointing higher
+    origin2 = origin + np.array([0.0, 0.6, 0.0], np.float32)
+    out = _post(server.port, "/grab",
+                {"action": "move", "origin": origin2.tolist(), "dir": d.tolist()})
+    assert out["grabbed"] == gid
+    import time
+
+    time.sleep(0.2)  # let the solver enforce the constraint
+    hdr, _ = _split_blob(_get(server.port, "/state"))
+    assert hdr["grabbed"] == gid
+
+    out = _post(server.port, "/grab", {"action": "end"})
+    assert out["grabbed"] == -1
+
+
+def test_grab_miss(server):
+    out = _post(server.port, "/grab",
+                {"action": "start", "origin": [50, 50, 50], "dir": [0, 1, 0]})
+    assert out["grabbed"] == -1
+
+
+def test_params_and_reset(server):
+    _post(server.port, "/params", {"gravity": -1.0})
+    assert float(server.world.params.gravity) == -1.0
+    with pytest.raises(urllib.error.HTTPError):
+        _post(server.port, "/params", {"not_a_param": 1})
+    _post(server.port, "/params", {"gravity": -9.81})
+    _post(server.port, "/reset", {})
+    import time
+
+    time.sleep(0.1)
+    assert int(server.body.controls.grab_id) == -1
+
+
+def test_index_served(server):
+    page = _get(server.port, "/")
+    assert b"tetsim_tpu" in page and b"webgl2" in page.lower()
+
+
+def test_bad_json(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/grab", data=b"{not json", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 400
