@@ -20,6 +20,10 @@ def main():
     substeps = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
     import jax
+
+    if os.environ.get("TETSIM_PLATFORM"):
+        # explicit override (the host sitecustomize may ignore JAX_PLATFORMS)
+        jax.config.update("jax_platforms", os.environ["TETSIM_PLATFORM"])
     import tetsim_tpu as ts
     from tetsim_tpu.solvers import get_engine
 
@@ -43,17 +47,22 @@ def main():
     jax.block_until_ready(state)
     print(f"compile+first step: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    frames = 5
+    # Measurement pattern tuned for tunneled devices: small async batches
+    # with a sync point + stderr heartbeat per batch.  (A fully tight
+    # dispatch/block loop with no other syscalls reproducibly stalls the
+    # tunnel's background IO; a heartbeat print per batch avoids it.)
+    frames = 0
+    s = state
+    t0 = time.perf_counter()
     while True:
-        s = state
-        t0 = time.perf_counter()
-        for _ in range(frames):
+        for _ in range(25):
             s, _ = step(s, arr, params, controls)
         jax.block_until_ready(s)
+        frames += 25
         elapsed = time.perf_counter() - t0
-        if elapsed > 2.0:
+        print(f"  {frames} frames, {elapsed:.2f}s", file=sys.stderr, flush=True)
+        if elapsed > 2.0 or frames >= 1500:
             break
-        frames *= 4
 
     assert np.isfinite(np.asarray(s.pos)).all()
     steps_per_sec = frames / elapsed
