@@ -1,0 +1,107 @@
+"""Host-side precompute for the fused VMEM Gauss-Seidel kernel.
+
+Lays the colored-GS schedule out for a lane-oriented TPU kernel
+(kernels/gs_fused.py): bodies occupy sublanes, particles occupy lanes, and
+each color level becomes
+
+  * a lane-gather index row  (``ids``   — corner slot -> particle id), and
+  * a lane-scatter-as-gather index row (``inv`` — particle -> corner slot,
+    -1 when the particle is not in the level; the level's position update is
+    then ``where(inv >= 0, gathered_new_corners, pos)``) —
+
+the same scatter->gather inversion the reference used for its per-particle
+texture tables (SoftbodyGPU.js:29-37), applied per color level where it is
+exact because tets within a level are vertex-disjoint.
+
+Corner slots are corner-major (corner c of slot t lives at row ``c*C + t``)
+so the kernel's per-corner blocks are contiguous, and C is padded to a
+multiple of 128 so the blocks are lane-tile aligned.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..mesh import TetMesh, color_slots, greedy_color, level_schedule, rest_state
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@dataclasses.dataclass(frozen=True)
+class VmemSchedule:
+    """Numpy tables consumed by the fused kernel (shapes in comments)."""
+
+    ids: np.ndarray  # i32 [L, R]   lane-gather: corner slot r -> particle id
+    inv: np.ndarray  # i32 [L, R]   particle p -> corner slot (or -1)
+    irp: np.ndarray  # f32 [L, 9, C] inv_rest_pose rows (row-major r*3+c)
+    irv: np.ndarray  # f32 [L, C]   inv rest volume (0 for padded slots)
+    imc: np.ndarray  # f32 [L, 4, C] per-corner inverse masses
+    inv_mass: np.ndarray  # f32 [N]
+    num_particles: int
+    num_tets: int
+    num_levels: int
+    slots_per_level: int  # C (lane-tile padded)
+    rows: int  # R = max(N, 4C) rounded to lane tile
+
+    @property
+    def L(self):
+        return self.num_levels
+
+    @property
+    def C(self):
+        return self.slots_per_level
+
+    @property
+    def R(self):
+        return self.rows
+
+
+def build_vmem_schedule(
+    mesh: TetMesh, density: float = 1000.0, coloring: str = "greedy"
+) -> VmemSchedule:
+    ir, irv_t, _, im, _ = rest_state(mesh, density)
+    tets = mesh.tets
+    n = mesh.num_particles
+    if coloring == "greedy":
+        colors = greedy_color(tets, n)
+    elif coloring == "ordered":
+        colors = level_schedule(tets, n)
+    else:
+        raise ValueError(f"unknown coloring {coloring!r}")
+    slots = color_slots(colors)  # [L, Cmax] of tet ids, -1 padded
+    L, cmax = slots.shape
+    C = _round_up(max(cmax, 1), 128)
+    R = _round_up(max(n, 4 * C), 128)
+
+    ids = np.zeros((L, R), np.int32)
+    inv = np.full((L, R), -1, np.int32)
+    irp = np.zeros((L, 9, C), np.float32)
+    irv = np.zeros((L, C), np.float32)
+    imc = np.zeros((L, 4, C), np.float32)
+
+    for l in range(L):
+        row = slots[l]
+        valid = row >= 0
+        t_idx = np.nonzero(valid)[0]
+        e = row[t_idx]
+        corners = tets[e]  # [k, 4]
+        for c in range(4):
+            ids[l, c * C + t_idx] = corners[:, c]
+            inv[l, corners[:, c]] = c * C + t_idx
+            imc[l, c, t_idx] = im[corners[:, c]]
+        # inv_rest_pose rows: irp[l, 3*r + co] = ir[e][:, r, co]
+        m = ir[e]  # [k, 3, 3]
+        for r in range(3):
+            for co in range(3):
+                irp[l, 3 * r + co, t_idx] = m[:, r, co]
+        irv[l, t_idx] = irv_t[e]
+
+    return VmemSchedule(
+        ids=ids, inv=inv, irp=irp, irv=irv, imc=imc,
+        inv_mass=im.astype(np.float32),
+        num_particles=n, num_tets=mesh.num_tets,
+        num_levels=L, slots_per_level=C, rows=R,
+    )
