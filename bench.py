@@ -12,6 +12,7 @@ Baseline: the reference CPU path's implied rate — 5 substeps/frame at its
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import sys
 import time
 
 import numpy as np
@@ -37,18 +38,21 @@ def main():
     state, _ = step(state, arr, params, controls)
     jax.block_until_ready(state)
 
-    # measure: enough frames for >=1s of runtime
-    frames = 50
+    # measure: async batches with a sync point + stderr heartbeat per batch
+    # (tight dispatch loops with no other syscalls can stall tunneled
+    # devices; see scripts/bench_scale.py)
+    frames = 0
+    s = state
+    t0 = time.perf_counter()
     while True:
-        s = state
-        t0 = time.perf_counter()
-        for _ in range(frames):
+        for _ in range(50):
             s, _ = step(s, arr, params, controls)
         jax.block_until_ready(s)
+        frames += 50
         elapsed = time.perf_counter() - t0
-        if elapsed > 1.0:
+        print(f"  {frames} frames, {elapsed:.2f}s", file=sys.stderr, flush=True)
+        if elapsed > 1.5 or frames >= 20000:
             break
-        frames *= 4
 
     assert np.isfinite(np.asarray(s.pos)).all(), "non-finite positions"
     substeps_per_sec = frames * params.num_substeps / elapsed

@@ -138,12 +138,95 @@ class Body:
         return np.asarray(verts), np.asarray(normals), np.asarray(self.mesh.tris)
 
 
+@functools.partial(jax.jit, static_argnames=("engine_name",))
+def _step_frame_batched(engine_name, states, arr, params, controls):
+    return jax.vmap(
+        get_engine(engine_name).step_frame, in_axes=(0, None, None, 0)
+    )(states, arr, params, controls)
+
+
+class BatchedBody:
+    """N bodies of one mesh stepped in a single vmapped device call —
+    the TPU-native form of the reference's multi-body scene list
+    (main.js:51 physicsScene.softBodies; BASELINE config 4).
+
+    State carries a leading body axis; controls are per body (each body can
+    be grabbed independently).  For cross-chip data parallelism over the
+    body axis see parallel.make_sharded_step(body_axis=...).
+    """
+
+    def __init__(
+        self,
+        mesh: TetMesh,
+        num_bodies: int,
+        engine: str = "polar",
+        coloring: Optional[str] = "auto",
+        density: float = 1000.0,
+        jitter: float = 0.0,
+        seed: int = 0,
+    ):
+        from .parallel import batch_state, batch_controls
+
+        if coloring == "auto":
+            coloring = "ordered" if engine == "neohookean" else None
+        self.mesh = mesh
+        self.engine = engine
+        self.num_bodies = num_bodies
+        self.arrays = build_arrays(mesh, density=density, coloring=coloring)
+        self.states = batch_state(init_state(mesh), num_bodies, jitter=jitter, seed=seed)
+        self.controls = batch_controls(num_bodies)
+        self.last_diag = None
+
+    def step(self, params: PhysicsParams):
+        self.states, diag = _step_frame_batched(
+            self.engine, self.states, self.arrays, params, self.controls
+        )
+        self.last_diag = diag
+        return diag
+
+    @property
+    def positions(self) -> np.ndarray:
+        """[num_bodies, N, 3]."""
+        return np.asarray(self.states.pos)
+
+    # -- per-body interaction ------------------------------------------------
+    def _check_body(self, body: int):
+        if not 0 <= body < self.num_bodies:
+            raise IndexError(
+                f"body index {body} out of range (batch has {self.num_bodies})"
+            )
+
+    def start_grab(self, body: int, point) -> int:
+        self._check_body(body)
+        point = jnp.asarray(point, jnp.float32)
+        gid = _nearest_particle(self.states.pos[body], point)
+        self.controls = Controls(
+            grab_id=self.controls.grab_id.at[body].set(gid),
+            grab_pos=self.controls.grab_pos.at[body].set(point),
+        )
+        return int(gid)
+
+    def move_grabbed(self, body: int, point):
+        self._check_body(body)
+        self.controls = self.controls.replace(
+            grab_pos=self.controls.grab_pos.at[body].set(
+                jnp.asarray(point, jnp.float32)
+            )
+        )
+
+    def end_grab(self, body: int):
+        self._check_body(body)
+        self.controls = self.controls.replace(
+            grab_id=self.controls.grab_id.at[body].set(-1)
+        )
+
+
 class World:
     """Scene container + frame loop (main.js:51,74-96 analogue)."""
 
     def __init__(self, params: Optional[PhysicsParams] = None):
         self.params = params if params is not None else PhysicsParams()
-        self.bodies: list[Body] = []
+        self.bodies: list = []
 
     def add_body(
         self,
@@ -157,6 +240,22 @@ class World:
         self.bodies.append(body)
         return body
 
+    def add_body_batch(
+        self,
+        mesh: TetMesh,
+        num_bodies: int,
+        engine: str = "polar",
+        jitter: float = 0.0,
+        seed: int = 0,
+        density: Optional[float] = None,
+    ) -> BatchedBody:
+        d = float(self.params.density) if density is None else density
+        batch = BatchedBody(
+            mesh, num_bodies, engine=engine, density=d, jitter=jitter, seed=seed
+        )
+        self.bodies.append(batch)
+        return batch
+
     def step(self, frames: int = 1):
         """Advance all bodies; each frame runs the full substep loop in one
         jitted device call per body."""
@@ -167,7 +266,17 @@ class World:
     def diagnostics(self) -> dict:
         from . import diag
 
-        return {
-            f"body{i}": diag.summarize(b.state, b.arrays, b.last_diag)
-            for i, b in enumerate(self.bodies)
-        }
+        out = {}
+        for i, b in enumerate(self.bodies):
+            if isinstance(b, BatchedBody):
+                pos = b.positions
+                vel = np.asarray(b.states.vel)
+                out[f"body{i}"] = {
+                    "batch": b.num_bodies,
+                    "min_height": float(pos[..., 1].min()),
+                    "max_speed": float(np.linalg.norm(vel, axis=-1).max()),
+                    "nan": bool(np.isnan(pos).any()),
+                }
+            else:
+                out[f"body{i}"] = diag.summarize(b.state, b.arrays, b.last_diag)
+        return out
