@@ -39,11 +39,20 @@ def collide(pos, prev_pos, dt, params: PhysicsParams):
 
 
 def apply_grab(pos, controls: Controls):
-    """Hard position override of the grabbed particle (Softbody.js:233-235)."""
+    """Hard position override of grabbed particles (Softbody.js:233-235).
+
+    ``grab_id`` may be a scalar (one grab, reference semantics) or a vector
+    of K simultaneous grabs (e.g. one per body of a flattened multi-body
+    mesh); negative ids are inactive."""
+    gid = controls.grab_id
+    if gid.ndim == 0:
+        n = pos.shape[-2]
+        idx = jnp.arange(n)
+        hit = idx == gid
+        return jnp.where(hit[..., None], controls.grab_pos, pos)
     n = pos.shape[-2]
-    idx = jnp.arange(n)
-    hit = idx == controls.grab_id
-    return jnp.where(hit[..., None], controls.grab_pos, pos)
+    safe = jnp.where(gid >= 0, gid, n)  # out-of-range rows drop
+    return pos.at[safe].set(controls.grab_pos, mode="drop")
 
 
 def velocity_update(pos, prev_pos, dt):
