@@ -97,3 +97,32 @@ def test_diag_values(small_mesh):
     d = diag.summarize(body.state, body.arrays, body.last_diag)
     assert set(d) >= {"volume_error", "kinetic_energy", "max_speed", "min_height", "nan"}
     assert d["kinetic_energy"] >= 0.0
+
+
+def test_rotated_normals(dragon):
+    import tetsim_tpu as ts
+
+    world = ts.World(ts.PhysicsParams(num_substeps=2))
+    body = world.add_body(dragon, engine="polar")
+    world.step(2)
+    v1, n_smooth, _ = body.surface_mesh(normals="smooth")
+    v2, n_rot, _ = body.surface_mesh(normals="rotated")
+    np.testing.assert_allclose(v1, v2)
+    assert np.isfinite(n_rot).all()
+    # unit length (rotation preserves the rest normal's norm)
+    np.testing.assert_allclose(np.linalg.norm(n_rot, axis=1), 1.0, atol=1e-5)
+    # for small deformation the two normal modes agree closely
+    dots = np.sum(n_rot * n_smooth, axis=1)
+    assert np.percentile(dots, 5) > 0.9
+
+
+def test_rotated_normals_needs_polar(dragon):
+    import tetsim_tpu as ts
+
+    world = ts.World(ts.PhysicsParams(num_substeps=1))
+    body = world.add_body(dragon, engine="neohookean", coloring="greedy")
+    world.step(1)
+    with pytest.raises(ValueError):
+        body.surface_mesh(normals="rotated")
+    with pytest.raises(ValueError):
+        body.surface_mesh(normals="bogus")

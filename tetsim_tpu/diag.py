@@ -41,6 +41,50 @@ def min_height(state: SimState):
     return jnp.min(state.pos[..., 1])
 
 
+class trace:
+    """Context manager around jax.profiler for kernel-level timelines —
+    the deep version of the reference's FPS meter (World.js:95-97):
+
+        with diag.trace("/tmp/tetsim-trace"):
+            world.step(30)
+
+    Open the resulting directory with TensorBoard's profile plugin or
+    Perfetto."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        jax.profiler.stop_trace()
+        return False
+
+
+class Timer:
+    """Rolling substeps/sec meter (the reference's Stats panel analogue)."""
+
+    def __init__(self):
+        import time
+
+        self._time = time.perf_counter
+        self.reset()
+
+    def reset(self):
+        self._t0 = self._time()
+        self._substeps = 0
+
+    def tick(self, num_substeps: int):
+        self._substeps += num_substeps
+
+    @property
+    def substeps_per_sec(self) -> float:
+        dt = self._time() - self._t0
+        return self._substeps / dt if dt > 0 else 0.0
+
+
 def summarize(state: SimState, arr: TetArrays, frame_diag=None) -> dict:
     out = {
         "volume_error": float(volume_error(state, arr)),

@@ -44,6 +44,16 @@ def _skin_surface(pos, skin_ids, skin_w):
 
 
 @jax.jit
+def _rotated_normals(rest_normals, quats, vis_tet_ids):
+    """Reference GPU-path normals: rotate the REST normal by the containing
+    tet's shape-matching quaternion instead of recomputing from geometry
+    (SoftbodyGPU.js:424-448) — exact for rigid motion, cheap everywhere."""
+    from .solvers.polar import quat_rotate
+
+    return quat_rotate(rest_normals, quats[vis_tet_ids])
+
+
+@jax.jit
 def _vertex_normals(verts, tris):
     """Area-weighted vertex normals via segment_sum (the device-side
     equivalent of three.js computeVertexNormals, Softbody.js:274)."""
@@ -90,6 +100,11 @@ class Body:
             w = np.concatenate([b, 1.0 - b.sum(axis=1, keepdims=True)], axis=1)
             self._skin_w = jnp.asarray(w.astype(np.float32))  # [S,4]
             self._tris = jnp.asarray(mesh.tris)
+            self._vis_tet_ids = jnp.asarray(mesh.vis_tet_ids)
+            rest_verts = _skin_surface(
+                jnp.asarray(mesh.verts, jnp.float32), self._skin_ids, self._skin_w
+            )
+            self._rest_normals = _vertex_normals(rest_verts, self._tris)
         else:
             self._skin_ids = None
 
@@ -128,14 +143,32 @@ class Body:
             raise ValueError("mesh has no embedded render surface")
         return np.asarray(_skin_surface(self.state.pos, self._skin_ids, self._skin_w))
 
-    def surface_mesh(self):
+    def surface_mesh(self, normals: str = "smooth"):
         """(positions [S,3], normals [S,3], triangles [T,3]) for a viewer —
-        all computed on device, one transfer."""
+        all computed on device, one transfer.
+
+        normals="smooth"  recompute area-weighted normals from deformed
+                          geometry (reference CPU path, Softbody.js:274);
+        normals="rotated" rotate rest normals by the per-tet shape-matching
+                          quaternion (reference GPU path,
+                          SoftbodyGPU.js:424-448; polar engine only).
+        """
         if self._skin_ids is None:
             raise ValueError("mesh has no embedded render surface")
         verts = _skin_surface(self.state.pos, self._skin_ids, self._skin_w)
-        normals = _vertex_normals(verts, self._tris)
-        return np.asarray(verts), np.asarray(normals), np.asarray(self.mesh.tris)
+        if normals == "smooth":
+            nrm = _vertex_normals(verts, self._tris)
+        elif normals == "rotated":
+            if self.engine != "polar":
+                raise ValueError(
+                    "rotated normals need per-tet quaternions (polar engine)"
+                )
+            nrm = _rotated_normals(
+                self._rest_normals, self.state.quats, self._vis_tet_ids
+            )
+        else:
+            raise ValueError(f"unknown normals mode {normals!r}")
+        return np.asarray(verts), np.asarray(nrm), np.asarray(self.mesh.tris)
 
 
 class BatchedBody:
