@@ -4,7 +4,14 @@ Workload matches the reference CPU solver config (stable Neo-Hookean XPBD,
 Gauss-Seidel, 5 substeps/frame, dragon mesh: 1,234 particles / 3,840 tets —
 /root/reference/src/main.js:22-36, Softbody.js).  Gauss-Seidel runs as
 graph-colored batches (greedy coloring, 32 colors on the dragon); the whole
-frame (all substeps, all color levels) is one jitted device program.
+measurement block (K frames) runs inside ONE jitted device program.
+
+Measurement methodology (important on tunneled/virtualized devices where
+``block_until_ready`` may resolve before execution): the timed region ends
+with a DATA-DEPENDENT device->host transfer (a scalar reduced from the
+final state), so the clock cannot stop before the device finished; the
+fixed call/transfer round-trip is amortized over K in-jit frames and
+subtracted via a two-point measurement (K1 vs K2 frames).
 
 Baseline: the reference CPU path's implied rate — 5 substeps/frame at its
 60 Hz real-time target = 300 substeps/s (BASELINE.md).
@@ -21,6 +28,29 @@ import numpy as np
 BASELINE_SUBSTEPS_PER_SEC = 300.0  # reference CPU path @60Hz (main.js:25-27)
 
 
+def _make_runner(step, arr, params, controls, frames):
+    import jax
+
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            s, _ = step(s, arr, params, controls)
+            return s, None
+
+        s, _ = jax.lax.scan(body, state, None, length=frames)
+        return s
+
+    return run
+
+
+def _timed(run, state, reps):
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state = run(state)
+        chk = float(state.pos.sum())  # data-dependent sync: device finished
+    return (time.perf_counter() - t0) / reps, chk
+
+
 def main():
     import jax
     import tetsim_tpu as ts
@@ -31,31 +61,28 @@ def main():
     state = ts.init_state(mesh)
     params = ts.PhysicsParams(num_substeps=5)
     controls = ts.Controls.none()
+    step = get_engine("neohookean").step_frame
 
-    step = jax.jit(get_engine("neohookean").step_frame)
+    k1, k2 = 20, 100
+    run1 = _make_runner(step, arr, params, controls, k1)
+    run2 = _make_runner(step, arr, params, controls, k2)
+    # compile + settle
+    s = run1(state)
+    float(s.pos.sum())
+    s2 = run2(state)
+    float(s2.pos.sum())
+    print("compiled", file=sys.stderr, flush=True)
 
-    # warmup / compile
-    state, _ = step(state, arr, params, controls)
-    jax.block_until_ready(state)
+    t1, _ = _timed(run1, state, reps=3)
+    t2, chk = _timed(run2, state, reps=3)
+    per_frame = (t2 - t1) / (k2 - k1)  # call overhead cancels
+    print(
+        f"k1={k1}: {t1:.3f}s  k2={k2}: {t2:.3f}s  per-frame {per_frame*1e3:.3f} ms",
+        file=sys.stderr, flush=True,
+    )
+    assert np.isfinite(chk), "non-finite positions"
 
-    # measure: async batches with a sync point + stderr heartbeat per batch
-    # (tight dispatch loops with no other syscalls can stall tunneled
-    # devices; see scripts/bench_scale.py)
-    frames = 0
-    s = state
-    t0 = time.perf_counter()
-    while True:
-        for _ in range(50):
-            s, _ = step(s, arr, params, controls)
-        jax.block_until_ready(s)
-        frames += 50
-        elapsed = time.perf_counter() - t0
-        print(f"  {frames} frames, {elapsed:.2f}s", file=sys.stderr, flush=True)
-        if elapsed > 1.5 or frames >= 20000:
-            break
-
-    assert np.isfinite(np.asarray(s.pos)).all(), "non-finite positions"
-    substeps_per_sec = frames * params.num_substeps / elapsed
+    substeps_per_sec = params.num_substeps / per_frame
     print(
         json.dumps(
             {

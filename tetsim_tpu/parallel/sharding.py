@@ -84,6 +84,7 @@ def pad_slots(arr: TetArrays, k: int) -> TetArrays:
         slot_inv_rest_pose=padc(arr.slot_inv_rest_pose),
         slot_inv_rest_volume=padc(arr.slot_inv_rest_volume),
         slot_valid=padc(arr.slot_valid),
+        slot_inv_mass=padc(arr.slot_inv_mass),
     )
 
 
@@ -115,14 +116,16 @@ def tet_array_specs(engine: str, tet_axis: Optional[str], has_schedule: bool = N
     rep = P()
     sched = dict(
         slot_tets=None, slot_inv_rest_pose=None,
-        slot_inv_rest_volume=None, slot_valid=None,
+        slot_inv_rest_volume=None, slot_valid=None, slot_inv=None,
+        slot_inv_mass=None,
     )
+    inc = dict(inc_idx=rep, inc_den=rep)
     if tet_axis is None:
         if has_schedule:
             sched = {k: rep for k in sched}
         return TetArrays(
             tets=rep, inv_rest_pose=rep, inv_rest_volume=rep, rest_volume=rep,
-            inv_mass=rep, rest_centered=rep, **sched,
+            inv_mass=rep, rest_centered=rep, **sched, **inc,
         )
     if engine == "polar":
         if has_schedule:
@@ -134,7 +137,7 @@ def tet_array_specs(engine: str, tet_axis: Optional[str], has_schedule: bool = N
             rest_volume=P(tet_axis),
             inv_mass=P(),
             rest_centered=P(tet_axis),
-            **sched,
+            **sched, **inc,
         )
     if engine == "neohookean":
         # Tet constants replicated; the slot-major GS schedule is sharded
@@ -145,7 +148,9 @@ def tet_array_specs(engine: str, tet_axis: Optional[str], has_schedule: bool = N
             tets=rep, inv_rest_pose=rep, inv_rest_volume=rep, rest_volume=rep,
             inv_mass=rep, rest_centered=rep,
             slot_tets=col, slot_inv_rest_pose=col,
-            slot_inv_rest_volume=col, slot_valid=col,
+            slot_inv_rest_volume=col, slot_valid=col, slot_inv=rep,
+            slot_inv_mass=col,
+            **inc,
         )
     raise ValueError(f"unknown engine {engine!r}")
 

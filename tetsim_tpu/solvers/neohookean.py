@@ -102,14 +102,20 @@ def project_constraints(pos, arr: TetArrays, dt, params: PhysicsParams, axis_nam
 
     def level_body(carry, level):
         pos, vol_err = carry
-        ids, irp, irv, valid = level  # [C,4], [C,3,3], [C], [C]
+        ids, irp, irv, valid, imc = level[:5]  # [C,4],[C,3,3],[C],[C],[C,4]
         p = pos[ids]
-        delta, verr = solve_tet_batch(
-            p, irp, irv, arr.inv_mass[ids], dt, params
-        )
+        delta, verr = solve_tet_batch(p, irp, irv, imc, dt, params)
         delta = jnp.where(valid[:, None, None], delta, 0.0)
         if axis_name is None:
-            pos = pos.at[ids].add(delta, mode="drop")
+            # scatter-as-gather: each particle is touched by <=1 corner in a
+            # level, so the update is a gather of (p + delta) by the
+            # precomputed inverse index — ~7x cheaper than scatter-add on
+            # TPU (mesh.build_schedule docstring)
+            inv = level[5]  # [N] flat corner id or -1
+            live = inv >= 0
+            new_corners = (p + delta).reshape(-1, 3)  # [(C*4), 3]
+            gathered = new_corners[jnp.maximum(inv, 0)]
+            pos = jnp.where(live[:, None], gathered, pos)
         else:
             dense = jax.ops.segment_sum(
                 delta.reshape(-1, 3),
@@ -120,11 +126,13 @@ def project_constraints(pos, arr: TetArrays, dt, params: PhysicsParams, axis_nam
         vol_err = vol_err + jnp.sum(jnp.where(valid, verr, 0.0))
         return (pos, vol_err), None
 
-    (pos, vol_err), _ = jax.lax.scan(
-        level_body,
-        (pos, jnp.float32(0.0)),
-        (arr.slot_tets, arr.slot_inv_rest_pose, arr.slot_inv_rest_volume, arr.slot_valid),
+    levels = (
+        arr.slot_tets, arr.slot_inv_rest_pose, arr.slot_inv_rest_volume,
+        arr.slot_valid, arr.slot_inv_mass,
     )
+    if axis_name is None:
+        levels = levels + (arr.slot_inv,)
+    (pos, vol_err), _ = jax.lax.scan(level_body, (pos, jnp.float32(0.0)), levels)
     vol_err = (
         vol_err if axis_name is None else jax.lax.psum(vol_err, axis_name)
     )
