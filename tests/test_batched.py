@@ -44,3 +44,30 @@ def test_batch_jitter_distinct(small_mesh):
     pos = batch.positions
     assert not np.allclose(pos[0], pos[1], atol=1e-3)
     assert np.isfinite(pos).all()
+
+
+def test_fused_backend_in_world(small_mesh):
+    """World.add_body_batch(backend="fused") — full scene API round trip
+    (interpret-mode Pallas on CPU)."""
+    from tetsim_tpu.kernels.gs_fused import FusedGSBody
+
+    world = ts.World(ts.PhysicsParams(num_substeps=2))
+    mesh = ts.grid_mesh(1, 1, 1, cell=0.4, origin=(-0.2, 0.2, -0.2))
+    batch = world.add_body_batch(mesh, 2, engine="neohookean", backend="fused")
+    assert isinstance(batch, FusedGSBody)
+    batch.interpret = True  # CPU-test mode
+    target = [0.5, 1.0, 0.0]
+    pid = batch.start_grab(1, [0.0, 0.4, 0.0])
+    batch.move_grabbed(1, target)
+    world.step(3)
+    pos = batch.positions()
+    np.testing.assert_allclose(pos[1, pid], target, atol=1e-6)
+    d = world.diagnostics()["body0"]
+    assert d["batch"] == 2 and not d["nan"]
+    batch.end_grab(1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        world.add_body_batch(mesh, 2, engine="polar", backend="fused")
+    with _pytest.raises(ValueError):
+        world.add_body_batch(mesh, 2, backend="bogus")

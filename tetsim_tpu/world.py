@@ -283,14 +283,33 @@ class World:
         mesh: TetMesh,
         num_bodies: int,
         engine: str = "polar",
+        backend: str = "flat",
         jitter: float = 0.0,
         seed: int = 0,
         density: Optional[float] = None,
-    ) -> BatchedBody:
+    ):
+        """Add a batch of bodies.
+
+        backend="flat"  — one flattened disjoint mesh through the XLA
+                          engines (any engine, any size).
+        backend="fused" — the VMEM-resident Pallas kernel (neohookean only;
+                          bodies batched in sublanes, VMEM-gated size;
+                          fastest measured path: 10.5k substeps/s/body on
+                          the dragon).
+        """
         d = float(self.params.density) if density is None else density
-        batch = BatchedBody(
-            mesh, num_bodies, engine=engine, density=d, jitter=jitter, seed=seed
-        )
+        if backend == "fused":
+            if engine != "neohookean":
+                raise ValueError("the fused backend implements the neohookean engine")
+            from .kernels import FusedGSBody
+
+            batch = FusedGSBody(mesh, num_bodies, density=d)
+        elif backend == "flat":
+            batch = BatchedBody(
+                mesh, num_bodies, engine=engine, density=d, jitter=jitter, seed=seed
+            )
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
         self.bodies.append(batch)
         return batch
 
@@ -304,9 +323,20 @@ class World:
     def diagnostics(self) -> dict:
         from . import diag
 
+        from .kernels.gs_fused import FusedGSBody
+
         out = {}
         for i, b in enumerate(self.bodies):
-            if isinstance(b, BatchedBody):
+            if isinstance(b, FusedGSBody):
+                pos = b.positions()
+                vel = b.velocities()
+                out[f"body{i}"] = {
+                    "batch": b.num_bodies,
+                    "min_height": float(pos[..., 1].min()),
+                    "max_speed": float(np.linalg.norm(vel, axis=-1).max()),
+                    "nan": bool(np.isnan(pos).any()),
+                }
+            elif isinstance(b, BatchedBody):
                 pos = b.positions
                 vel = np.asarray(b.states.vel)
                 out[f"body{i}"] = {
