@@ -71,3 +71,13 @@ def test_fused_backend_in_world(small_mesh):
         world.add_body_batch(mesh, 2, engine="polar", backend="fused")
     with _pytest.raises(ValueError):
         world.add_body_batch(mesh, 2, backend="bogus")
+
+
+def test_fused_backend_jitter(small_mesh):
+    from tetsim_tpu.kernels.gs_fused import FusedGSBody
+
+    mesh = ts.grid_mesh(1, 1, 1, cell=0.4, origin=(-0.2, 0.2, -0.2))
+    b = FusedGSBody(mesh, 4, jitter=0.3, seed=5)
+    pos = b.positions()
+    assert not np.allclose(pos[0], pos[1], atol=1e-3)
+    assert (pos[..., 1] >= 0).all()  # jitter kept above ground

@@ -100,3 +100,16 @@ def test_build_arrays_no_schedule(dragon):
     arr = ts.build_arrays(dragon, coloring=None)
     assert arr.slot_tets is None
     assert arr.rest_centered.shape == (3840, 4, 3)
+
+
+def test_incidence_gating(dragon):
+    # neohookean-style build: no polar tables
+    arr = ts.build_arrays(dragon, coloring="greedy")
+    assert arr.inc_idx is None and arr.inc_den is None
+    # polar-style build: tables present, denominator positive everywhere
+    arr = ts.build_arrays(dragon, coloring=None)
+    assert arr.inc_idx is not None
+    assert (np.asarray(arr.inc_den) > 0).all()
+    # explicit override
+    arr = ts.build_arrays(dragon, coloring="greedy", incidence=True)
+    assert arr.inc_idx is not None

@@ -116,3 +116,13 @@ def test_bad_json(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=10)
     assert e.value.code == 400
+
+
+def test_blob_headers_4byte_aligned(server):
+    """JS typed-array views need byteOffset % 4 == 0 — headers must be
+    padded regardless of frame-number/step-ms digit counts."""
+    for path in ("/mesh", "/state", "/state", "/state"):
+        blob = _get(server.port, path)
+        nl = blob.index(b"\n")
+        assert (nl + 1) % 4 == 0, f"{path} header {nl+1} bytes (unaligned)"
+        json.loads(blob[:nl])  # padding must not break the JSON

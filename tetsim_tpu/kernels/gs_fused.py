@@ -283,6 +283,8 @@ class FusedGSBody:
         coloring: str = "greedy",
         schedule: Optional[VmemSchedule] = None,
         interpret: bool = False,
+        jitter: float = 0.0,
+        seed: int = 0,
     ):
         self.mesh = mesh
         self.sched = schedule or build_vmem_schedule(mesh, density, coloring)
@@ -318,7 +320,12 @@ class FusedGSBody:
         self._irp = jnp.asarray(s.irp)
         self._irv = jnp.asarray(s.irv)
         self._imc = jnp.asarray(s.imc)
-        self.state = self._init_state()
+        offsets = None
+        if jitter:
+            rng = np.random.RandomState(seed)
+            offsets = rng.uniform(-jitter, jitter, (self.B, 3)).astype(np.float32)
+            offsets[:, 1] = np.abs(offsets[:, 1])  # keep above ground
+        self.state = self._init_state(offsets)
         self.grab_id = jnp.full((self.B, 1), -1, jnp.int32)
         self.grab_pos = jnp.zeros((self.B, 4), jnp.float32)
 

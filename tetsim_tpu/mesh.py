@@ -280,13 +280,19 @@ def build_schedule(colors: np.ndarray, tets, inv_rest_pose, inv_rest_volume, num
 
 
 def build_arrays(
-    mesh: TetMesh, density: float = 1000.0, coloring: Optional[str] = "ordered"
+    mesh: TetMesh,
+    density: float = 1000.0,
+    coloring: Optional[str] = "ordered",
+    incidence: Optional[bool] = None,
 ) -> TetArrays:
     """Precompute everything the solvers need and move it to device.
 
     coloring: "ordered" (level schedule, exact CPU-reference GS order),
     "greedy" (fewest colors, fastest — a different but equally valid
     Gauss-Seidel constraint order), or None (no GS schedule; polar engine).
+    incidence: build the polar scatter-as-gather tables (inc_idx/inc_den).
+    Defaults to True only when no GS schedule is requested (a Neo-Hookean
+    body never reads them; polar falls back to segment_sum without them).
     """
     ir, irv, vol, im, rc = rest_state(mesh, density)
     sched = (None, None, None, None, None, None)
@@ -299,7 +305,11 @@ def build_arrays(
     elif coloring is not None:
         raise ValueError(f"unknown coloring {coloring!r}")
     st, sp, sv, sd, si, sm = sched
-    inc_idx, inc_den = build_incidence(mesh.tets, vol, mesh.num_particles)
+    if incidence is None:
+        incidence = coloring is None
+    inc_idx = inc_den = None
+    if incidence:
+        inc_idx, inc_den = build_incidence(mesh.tets, vol, mesh.num_particles)
     as_j = lambda x: None if x is None else jnp.asarray(x)
     return TetArrays(
         tets=jnp.asarray(mesh.tets),
@@ -314,8 +324,8 @@ def build_arrays(
         slot_valid=as_j(sd),
         slot_inv=as_j(si),
         slot_inv_mass=as_j(sm),
-        inc_idx=jnp.asarray(inc_idx),
-        inc_den=jnp.asarray(inc_den),
+        inc_idx=as_j(inc_idx),
+        inc_den=as_j(inc_den),
     )
 
 

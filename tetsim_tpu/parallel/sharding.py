@@ -105,21 +105,33 @@ def pad_quats(state: SimState, k: int) -> SimState:
 # ---------------------------------------------------------------------------
 
 
-def tet_array_specs(engine: str, tet_axis: Optional[str], has_schedule: bool = None) -> TetArrays:
+def tet_array_specs(
+    engine: str,
+    tet_axis: Optional[str],
+    has_schedule: bool = None,
+    has_incidence: bool = None,
+) -> TetArrays:
     """Per-leaf PartitionSpecs for TetArrays under a given engine.
 
-    ``has_schedule``: whether the arrays carry the slot-major GS schedule
-    (None fields otherwise); defaults to engine == "neohookean".
+    ``has_schedule``/``has_incidence``: whether the arrays carry the
+    slot-major GS schedule / polar incidence tables (None fields
+    otherwise); default by engine.
     """
     if has_schedule is None:
         has_schedule = engine == "neohookean"
+    if has_incidence is None:
+        has_incidence = engine == "polar"
     rep = P()
     sched = dict(
         slot_tets=None, slot_inv_rest_pose=None,
         slot_inv_rest_volume=None, slot_valid=None, slot_inv=None,
         slot_inv_mass=None,
     )
-    inc = dict(inc_idx=rep, inc_den=rep)
+    inc = (
+        dict(inc_idx=rep, inc_den=rep)
+        if has_incidence
+        else dict(inc_idx=None, inc_den=None)
+    )
     if tet_axis is None:
         if has_schedule:
             sched = {k: rep for k in sched}
@@ -209,7 +221,9 @@ def make_sharded_step(
         # templates per call so structures always match
         pm_specs = jax.tree.map(lambda _: P(), params)
         ar_specs = tet_array_specs(
-            engine, tet_axis, has_schedule=arr.slot_tets is not None
+            engine, tet_axis,
+            has_schedule=arr.slot_tets is not None,
+            has_incidence=arr.inc_idx is not None,
         )
         fn = jax.shard_map(
             step,
@@ -262,7 +276,11 @@ def prepare(
     state = place(state, state_specs(engine, tet_axis, body_axis), mesh)
     arr = place(
         arr,
-        tet_array_specs(engine, tet_axis, has_schedule=arr.slot_tets is not None),
+        tet_array_specs(
+            engine, tet_axis,
+            has_schedule=arr.slot_tets is not None,
+            has_incidence=arr.inc_idx is not None,
+        ),
         mesh,
     )
     return state, arr

@@ -41,6 +41,15 @@ from ..world import World, Body
 _STATIC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "static")
 
 
+def _pad_header(hdr: bytes) -> bytes:
+    """Pad a JSON header line (spaces before the newline) so the binary
+    payload starts 4-byte aligned — JS Float32Array/Uint32Array views on
+    the fetched ArrayBuffer require byteOffset % 4 == 0."""
+    total = len(hdr) + 1  # + newline
+    pad = (-total) % 4
+    return hdr + b" " * pad + b"\n"
+
+
 @jax.jit
 def _nearest_to_ray(pos, origin, direction):
     """Device-side picking: (particle id, depth along ray, distance to ray).
@@ -106,7 +115,7 @@ class ViewerServer:
             if m.edges is not None
             else np.zeros((0, 2), np.uint32)
         )
-        hdr = json.dumps(header).encode() + b"\n"
+        hdr = _pad_header(json.dumps(header).encode())
         return hdr + tris.tobytes() + edges.tobytes()
 
     # -- per-frame state blob ----------------------------------------------
@@ -119,7 +128,7 @@ class ViewerServer:
                 "step_ms": round(self.last_step_ms, 3),
                 "grabbed": int(self.body.controls.grab_id),
             }
-        hdr = json.dumps(diag).encode() + b"\n"
+        hdr = _pad_header(json.dumps(diag).encode())
         return (
             hdr
             + verts.astype("<f4").tobytes()

@@ -303,7 +303,7 @@ class World:
                 raise ValueError("the fused backend implements the neohookean engine")
             from .kernels import FusedGSBody
 
-            batch = FusedGSBody(mesh, num_bodies, density=d)
+            batch = FusedGSBody(mesh, num_bodies, density=d, jitter=jitter, seed=seed)
         elif backend == "flat":
             batch = BatchedBody(
                 mesh, num_bodies, engine=engine, density=d, jitter=jitter, seed=seed
