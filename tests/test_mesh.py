@@ -113,3 +113,35 @@ def test_incidence_gating(dragon):
     # explicit override
     arr = ts.build_arrays(dragon, coloring="greedy", incidence=True)
     assert arr.inc_idx is not None
+
+
+def test_npz_roundtrip(tmp_path, dragon):
+    from tetsim_tpu import save_npz, load_npz
+
+    p = str(tmp_path / "d.npz")
+    save_npz(p, dragon)
+    m = load_npz(p)
+    np.testing.assert_array_equal(m.verts, dragon.verts)
+    np.testing.assert_array_equal(m.tets, dragon.tets)
+    np.testing.assert_array_equal(m.tris, dragon.tris)
+
+
+def test_tetgen_loader(tmp_path):
+    from tetsim_tpu import load_tetgen
+
+    # one unit tet, 1-based ids, with attribute columns and comments
+    (tmp_path / "m.node").write_text(
+        "# tetgen node file\n4 3 0 0\n1 0 0 0\n2 1 0 0\n3 0 1 0\n4 0 0 1\n"
+    )
+    (tmp_path / "m.ele").write_text("1 4 0\n1 1 2 4 3  # negative orientation\n")
+    m = load_tetgen(str(tmp_path / "m.node"), str(tmp_path / "m.ele"))
+    assert m.num_particles == 4 and m.num_tets == 1
+    assert m.edges.shape == (6, 2)
+    from tetsim_tpu.mesh import rest_state
+
+    _, _, vol, _, _ = rest_state(m)
+    assert vol[0] > 0  # reoriented to positive volume
+    # bad ele reference
+    (tmp_path / "bad.ele").write_text("1 4 0\n1 1 2 9 3\n")
+    with pytest.raises(ValueError):
+        load_tetgen(str(tmp_path / "m.node"), str(tmp_path / "bad.ele"))

@@ -126,3 +126,12 @@ def test_rotated_normals_needs_polar(dragon):
         body.surface_mesh(normals="rotated")
     with pytest.raises(ValueError):
         body.surface_mesh(normals="bogus")
+
+
+def test_reference_api_aliases(dragon):
+    world = ts.World(ts.default_cpu_params())
+    body = world.add_body(dragon, engine="neohookean", coloring="greedy")
+    body.simulate(1.0 / 300.0, world.params)  # one substep, reference style
+    pos, surface = body.end_frame()
+    assert pos.shape == (1234, 3) and surface.shape == (29800, 3)
+    assert np.isfinite(pos).all()

@@ -8,7 +8,10 @@ skinning, multi-body batching, and multi-chip sharding.
 """
 from .params import PhysicsParams, default_cpu_params, default_gpu_params
 from .state import SimState, Controls, init_state
-from .mesh import TetMesh, TetArrays, load_dragon, grid_mesh, build_arrays
+from .mesh import (
+    TetMesh, TetArrays, load_dragon, grid_mesh, build_arrays,
+    replicate_mesh, load_npz, save_npz, load_tetgen,
+)
 from .solvers import get_engine
 
 __version__ = "0.1.0"
@@ -25,6 +28,10 @@ __all__ = [
     "load_dragon",
     "grid_mesh",
     "build_arrays",
+    "replicate_mesh",
+    "load_npz",
+    "save_npz",
+    "load_tetgen",
     "get_engine",
     "World",
 ]

@@ -444,3 +444,83 @@ def single_tet_mesh() -> TetMesh:
     )
     tets = np.array([[0, 1, 2, 3]], np.int32)
     return TetMesh(verts=verts, tets=tets)
+
+
+# ---------------------------------------------------------------------------
+# Mesh I/O (the reference ships only the hard-coded Dragon.js; a framework
+# needs user meshes: TetGen .node/.ele pairs and npz round-trip)
+# ---------------------------------------------------------------------------
+
+
+def save_npz(path: str, mesh: TetMesh) -> None:
+    """Serialize a TetMesh (same keys as the bundled dragon asset)."""
+    data = {"verts": mesh.verts, "tet_ids": mesh.tets}
+    if mesh.edges is not None:
+        data["edge_ids"] = mesh.edges
+    if mesh.vis_tet_ids is not None:
+        data["vis_tet_ids"] = mesh.vis_tet_ids
+        data["vis_bary"] = mesh.vis_bary
+        data["tri_ids"] = mesh.tris
+    np.savez_compressed(path, **data)
+
+
+def load_npz(path: str) -> TetMesh:
+    with np.load(path) as z:
+        return TetMesh(
+            verts=z["verts"].astype(np.float32),
+            tets=z["tet_ids"].astype(np.int32),
+            edges=z["edge_ids"].astype(np.int32) if "edge_ids" in z else None,
+            vis_tet_ids=z["vis_tet_ids"].astype(np.int32) if "vis_tet_ids" in z else None,
+            vis_bary=z["vis_bary"].astype(np.float32) if "vis_bary" in z else None,
+            tris=z["tri_ids"].astype(np.int32) if "tri_ids" in z else None,
+        )
+
+
+def _read_tetgen_table(path: str) -> list:
+    """Parse a TetGen-style whitespace table, skipping comments; returns the
+    rows (header first) as lists of floats (rows may vary in length)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if line:
+                rows.append([float(x) for x in line.split()])
+    if not rows:
+        raise ValueError(f"{path}: empty TetGen file")
+    return rows
+
+
+def load_tetgen(node_path: str, ele_path: str) -> TetMesh:
+    """Load a TetGen .node/.ele pair (the de-facto tet-mesh interchange
+    format).  Handles 0- or 1-based node numbering and attribute columns;
+    tets are reoriented to positive volume, and the wireframe edge list is
+    derived from unique tet edges."""
+    nodes = _read_tetgen_table(node_path)
+    n_nodes = int(nodes[0][0])
+    body = nodes[1 : 1 + n_nodes]
+    ids = np.array([r[0] for r in body])
+    verts = np.array([r[1:4] for r in body], np.float32)
+    base = int(ids.min())
+
+    eles = _read_tetgen_table(ele_path)
+    n_tets = int(eles[0][0])
+    tbody = eles[1 : 1 + n_tets]
+    tets = np.array([r[1:5] for r in tbody], np.int64) - base
+    if tets.min() < 0 or tets.max() >= n_nodes:
+        raise ValueError("TetGen .ele references nodes outside the .node file")
+    tets = tets.astype(np.int32)
+
+    # positive orientation (same convention as grid_mesh)
+    p = verts[tets]
+    d = np.stack([p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], p[:, 3] - p[:, 0]], axis=-1)
+    neg = np.linalg.det(d) < 0
+    tets[neg] = tets[neg][:, [0, 2, 1, 3]]
+
+    corners = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    edges = np.unique(
+        np.sort(
+            np.concatenate([tets[:, list(c)] for c in corners], axis=0), axis=1
+        ),
+        axis=0,
+    ).astype(np.int32)
+    return TetMesh(verts=verts, tets=tets, edges=edges)

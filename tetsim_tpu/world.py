@@ -116,6 +116,30 @@ class Body:
         self.last_diag = diag
         return diag
 
+    def simulate(self, dt, params: Optional[PhysicsParams] = None):
+        """Reference-API alias (Softbody.js simulate(dt, physicsParams)):
+        one substep at explicit dt.  Prefer step() — it runs the whole
+        frame's substep loop in one device call."""
+        from .solvers import get_engine
+
+        p = (params or PhysicsParams()).replace(
+            time_step=jnp.float32(dt), time_scale=jnp.float32(1.0)
+        )
+        one = p.replace(num_substeps=1)
+        self.state, diag = _step_frame(
+            self.engine, self.state, self.arrays, one, self.controls
+        )
+        self.last_diag = diag
+        return diag
+
+    def end_frame(self):
+        """Reference-API alias (Softbody.js endFrame): produce render
+        buffers after the substep loop; returns (positions, surface)."""
+        surface = (
+            self.surface_positions() if self._skin_ids is not None else None
+        )
+        return self.positions, surface
+
     # -- interaction (Softbody.js:279-298 semantics) -----------------------
     def start_grab(self, point) -> int:
         point = jnp.asarray(point, jnp.float32)
