@@ -135,3 +135,26 @@ def test_reference_api_aliases(dragon):
     pos, surface = body.end_frame()
     assert pos.shape == (1234, 3) and surface.shape == (29800, 3)
     assert np.isfinite(pos).all()
+
+
+@pytest.mark.parametrize("engine", ["neohookean", "polar"])
+def test_pinned_particles(engine):
+    """Zero-inv-mass pinning (Softbody.js:82-85 convention): pinned top
+    vertices hold a hanging block against gravity in both engines."""
+    mesh = ts.grid_mesh(2, 2, 2, cell=0.3, origin=(-0.3, 1.0, -0.3))
+    top = np.nonzero(mesh.verts[:, 1] >= mesh.verts[:, 1].max() - 1e-6)[0]
+    from tetsim_tpu.world import Body
+
+    body = Body(mesh, engine=engine, pinned=top)
+    params = ts.PhysicsParams(num_substeps=5)
+    for _ in range(30):
+        body.step(params)
+    pos = body.positions
+    rest = mesh.verts
+    # pinned vertices have not moved at all
+    np.testing.assert_allclose(pos[top], rest[top], atol=1e-6)
+    # the rest of the body sagged below its rest pose but did not fall away
+    others = np.setdiff1d(np.arange(mesh.num_particles), top)
+    assert pos[others, 1].min() < rest[others, 1].min() - 1e-3
+    assert pos[others, 1].min() > 0.2  # hanging, not dropped to the floor
+    assert np.isfinite(pos).all()

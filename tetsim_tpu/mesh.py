@@ -88,13 +88,17 @@ def load_dragon() -> TetMesh:
 # ---------------------------------------------------------------------------
 
 
-def rest_state(mesh: TetMesh, density: float = 1000.0, dtype=np.float32):
+def rest_state(mesh: TetMesh, density: float = 1000.0, dtype=np.float32,
+               pinned=None):
     """Returns (inv_rest_pose[M,3,3], inv_rest_volume[M], rest_volume[M],
     inv_mass[N], rest_centered[M,4,3]) as numpy arrays.
 
     Degenerate tets (det == 0) get a zeroed inv_rest_pose, matching the
     reference's matSetInverse behavior (Softbody.js:389-395); pinned
-    particles (total mass 0) keep inv_mass == 0 (Softbody.js:82-85).
+    particles get inv_mass == 0 and never move under XPBD projection
+    (Softbody.js:82-85 zero-mass convention — the reference is
+    pinned-capable but its dragon pins nothing).  ``pinned``: optional
+    particle-id array to pin.
     """
     verts = mesh.verts.astype(dtype)
     tets = mesh.tets
@@ -118,6 +122,8 @@ def rest_state(mesh: TetMesh, density: float = 1000.0, dtype=np.float32):
     np.add.at(mass, tets[:, 2], pm)
     np.add.at(mass, tets[:, 3], pm)
     inv_mass = np.where(mass != 0.0, 1.0 / mass, 0.0).astype(dtype)
+    if pinned is not None:
+        inv_mass[np.asarray(pinned, np.int64)] = 0.0
 
     # centroid with the exact add order used at runtime (polar.solve_shape_match
     # / SoftbodyGPU.js:162) so that exact rest is a bitwise fixed point of the
@@ -284,6 +290,7 @@ def build_arrays(
     density: float = 1000.0,
     coloring: Optional[str] = "ordered",
     incidence: Optional[bool] = None,
+    pinned=None,
 ) -> TetArrays:
     """Precompute everything the solvers need and move it to device.
 
@@ -294,7 +301,7 @@ def build_arrays(
     Defaults to True only when no GS schedule is requested (a Neo-Hookean
     body never reads them; polar falls back to segment_sum without them).
     """
-    ir, irv, vol, im, rc = rest_state(mesh, density)
+    ir, irv, vol, im, rc = rest_state(mesh, density, pinned=pinned)
     sched = (None, None, None, None, None, None)
     if coloring == "ordered":
         colors = level_schedule(mesh.tets, mesh.num_particles)

@@ -15,10 +15,18 @@ from ..params import PhysicsParams
 from ..state import Controls
 
 
-def predict(pos, vel, dt, params: PhysicsParams):
+def predict(pos, vel, dt, params: PhysicsParams, inv_mass=None):
     """XPBD prediction (Softbody.js:198-202): integrate gravity into
-    velocity, save prev_pos, advect positions."""
+    velocity, save prev_pos, advect positions.
+
+    When ``inv_mass`` is given, pinned particles (inv_mass == 0) are not
+    advected.  Divergence note: the reference integrates gravity on every
+    particle (Softbody.js:198-202), so its zero-mass "pinned-capable"
+    convention (Softbody.js:82-85) only shields particles from constraint
+    forces — they still fall; real pins need the prediction gate too."""
     vel = vel.at[..., 1].add(params.gravity * dt)
+    if inv_mass is not None:
+        vel = jnp.where((inv_mass > 0.0)[..., None], vel, 0.0)
     prev_pos = pos
     pos = pos + vel * dt
     return pos, prev_pos, vel

@@ -148,7 +148,9 @@ def substep(
     axis_name=None,
 ):
     """One XPBD substep (Softbody.js:195-240 semantics)."""
-    pos, prev_pos, vel = common.predict(state.pos, state.vel, dt, params)
+    pos, prev_pos, vel = common.predict(
+        state.pos, state.vel, dt, params, inv_mass=arr.inv_mass
+    )
     pos, vol_err = project_constraints(pos, arr, dt, params, axis_name=axis_name)
     pos = common.collide(pos, prev_pos, dt, params)
     pos = common.apply_grab(pos, controls)

@@ -167,7 +167,14 @@ def solve_shape_match(pos, quats, arr: TetArrays, axis_name=None):
         if axis_name is not None:
             num = jax.lax.psum(num, axis_name)
             den = jax.lax.psum(den, axis_name)
-    new_pos = pos + num / jnp.maximum(den[..., None], _EPS)
+    # pinned particles (inv_mass == 0) never move — the reference CPU
+    # solver's zero-mass convention (Softbody.js:82-85), applied here even
+    # though the reference GPU path ignores mass (its invMass sampling is
+    # commented out, SoftbodyGPU.js:242-246)
+    movable = (arr.inv_mass > 0.0)[..., None]
+    new_pos = jnp.where(
+        movable, pos + num / jnp.maximum(den[..., None], _EPS), pos
+    )
     return new_pos, quats
 
 
@@ -180,7 +187,9 @@ def substep(
     axis_name=None,
 ):
     """One XPBD substep with the Jacobi polar solve."""
-    pos, prev_pos, vel = common.predict(state.pos, state.vel, dt, params)
+    pos, prev_pos, vel = common.predict(
+        state.pos, state.vel, dt, params, inv_mass=arr.inv_mass
+    )
     pos, quats = solve_shape_match(pos, state.quats, arr, axis_name=axis_name)
     pos = common.collide(pos, prev_pos, dt, params)
     pos = common.apply_grab(pos, controls)

@@ -80,6 +80,7 @@ class Body:
         coloring: Optional[str] = "auto",
         density: float = 1000.0,
         arrays: Optional[TetArrays] = None,
+        pinned=None,
     ):
         self.mesh = mesh
         self.engine = engine
@@ -88,7 +89,7 @@ class Body:
             # coloring pass entirely)
             coloring = "ordered" if engine == "neohookean" else None
         self.arrays = arrays if arrays is not None else build_arrays(
-            mesh, density=density, coloring=coloring
+            mesh, density=density, coloring=coloring, pinned=pinned
         )
         self.state = init_state(mesh)
         self.controls = Controls.none()
