@@ -111,10 +111,12 @@ def main():
     params = ts.PhysicsParams(num_substeps=5)
     try:
         per_frame = _bench_fused(mesh, params)
+        path = "fused"
     except Exception as e:  # pallas lowering unavailable on this backend
         print(f"fused path unavailable ({type(e).__name__}: {str(e)[:120]}); "
               "falling back to XLA engine", file=sys.stderr, flush=True)
         per_frame = _bench_classic(mesh, params)
+        path = "classic"
 
     substeps_per_sec = params.num_substeps / per_frame
     print(
@@ -124,6 +126,7 @@ def main():
                 "value": round(substeps_per_sec, 1),
                 "unit": "substeps/s",
                 "vs_baseline": round(substeps_per_sec / BASELINE_SUBSTEPS_PER_SEC, 2),
+                "path": path,
             }
         )
     )

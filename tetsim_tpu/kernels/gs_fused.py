@@ -357,8 +357,10 @@ class FusedGSBody:
             ]
         ).reshape(1, 12).astype(jnp.float32)
 
-    @functools.partial(jax.jit, static_argnames=("self", "num_substeps"))
-    def _step(self, state, par, gid, gpos, num_substeps):
+    @functools.partial(
+        jax.jit, static_argnames=("self", "num_substeps", "interpret")
+    )
+    def _step(self, state, par, gid, gpos, num_substeps, interpret):
         s = self.sched
         kernel = _make_kernel(
             num_substeps, s.L, s.C, s.R, self.B, s.gather_tiles, s.scatter_tiles
@@ -379,14 +381,15 @@ class FusedGSBody:
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             input_output_aliases={3: 0},  # state buffer reused as output
-            interpret=self.interpret,
+            interpret=interpret,
         )(par, gid, gpos, state, self._ids, self._inv, self._irp, self._irv, self._imc)
 
     def step(self, params: PhysicsParams, frames: int = 1):
         par = self._params_vec(params)
         for _ in range(frames):
             self.state = self._step(
-                self.state, par, self.grab_id, self.grab_pos, params.num_substeps
+                self.state, par, self.grab_id, self.grab_pos,
+                params.num_substeps, self.interpret,
             )
         return self.state
 

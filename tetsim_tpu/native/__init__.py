@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import platform
 import subprocess
 import sysconfig
 import threading
@@ -19,7 +20,28 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "coloring.cpp")
-_LIB = os.path.join(_HERE, "_libtetsim_native.so")
+# The cache name carries the machine arch + a hash of the CPU feature
+# flags: the build uses -march=native, so a .so copied to a different CPU
+# (shared image / NFS home / heterogeneous fleet) must not be picked up —
+# it would SIGILL instead of falling back (ADVICE r1).
+def _cpu_tag() -> str:
+    tag = platform.machine().lower()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    import hashlib
+
+                    h = hashlib.sha1(
+                        " ".join(sorted(line.split(":", 1)[1].split())).encode()
+                    ).hexdigest()[:8]
+                    return f"{tag}_{h}"
+    except OSError:
+        pass
+    return tag
+
+
+_LIB = os.path.join(_HERE, f"_libtetsim_native_{_cpu_tag()}.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
