@@ -33,44 +33,67 @@ def main():
           f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
 
     t0 = time.perf_counter()
-    coloring = None if engine == "polar" else "greedy"
-    arr = ts.build_arrays(mesh, coloring=coloring)
+    if engine == "polar_grid":
+        from tetsim_tpu.solvers.polar_grid import build_grid_arrays
+
+        arr = build_grid_arrays(mesh, (n, n, n))
+    else:
+        coloring = None if engine == "polar" else "greedy"
+        arr = ts.build_arrays(mesh, coloring=coloring)
     print(f"build_arrays: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     state = ts.init_state(mesh)
     params = ts.PhysicsParams(num_substeps=substeps)
     controls = ts.Controls.none()
-    step = jax.jit(get_engine(engine).step_frame)
+    step = get_engine(engine).step_frame
 
+    # Honest methodology (BENCHNOTES.md): K frames inside one jitted scan,
+    # timed region ends with a DATA-DEPENDENT device->host transfer (through
+    # the tunnel, block_until_ready can resolve at dispatch — the raw
+    # dispatch rate here reads up to 30x too fast), constant round-trip
+    # cancelled by the two-point fit.  Heartbeat prints per rep keep the
+    # tunnel's background IO alive.
+    def make_runner(frames):
+        @jax.jit
+        def run(st):
+            def body(s, _):
+                s, _ = step(s, arr, params, controls)
+                return s, None
+
+            s, _ = jax.lax.scan(body, st, None, length=frames)
+            return s
+
+        return run
+
+    def timed(run, st, reps=3):
+        t0 = time.perf_counter()
+        chk = 0.0
+        for r in range(reps):
+            out = run(st)
+            chk = float(out.pos.sum())  # data-dependent sync
+            print(f"  rep {r} chk={chk:.4f}", file=sys.stderr, flush=True)
+        return (time.perf_counter() - t0) / reps, chk
+
+    # pick the two-point spread by engine speed: fast engines need a wide
+    # spread so the per-frame delta dominates round-trip jitter
+    k1, k2 = (50, 400) if engine == "polar_grid" else (3, 15)
+    run1, run2 = make_runner(k1), make_runner(k2)
     t0 = time.perf_counter()
-    state, _ = step(state, arr, params, controls)
-    jax.block_until_ready(state)
-    print(f"compile+first step: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    timed(run1, state, reps=1)
+    timed(run2, state, reps=1)
+    print(f"compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    t1, _ = timed(run1, state)
+    t2, chk = timed(run2, state)
+    assert np.isfinite(chk), "non-finite positions"
+    per_frame = (t2 - t1) / (k2 - k1)
 
-    # Measurement pattern tuned for tunneled devices: small async batches
-    # with a sync point + stderr heartbeat per batch.  (A fully tight
-    # dispatch/block loop with no other syscalls reproducibly stalls the
-    # tunnel's background IO; a heartbeat print per batch avoids it.)
-    frames = 0
-    s = state
-    t0 = time.perf_counter()
-    while True:
-        for _ in range(25):
-            s, _ = step(s, arr, params, controls)
-        jax.block_until_ready(s)
-        frames += 25
-        elapsed = time.perf_counter() - t0
-        print(f"  {frames} frames, {elapsed:.2f}s", file=sys.stderr, flush=True)
-        if elapsed > 2.0 or frames >= 1500:
-            break
-
-    assert np.isfinite(np.asarray(s.pos)).all()
-    steps_per_sec = frames / elapsed
+    steps_per_sec = 1.0 / per_frame
     print(json.dumps({
         "metric": f"{engine}_steps_per_sec_{mesh.num_tets}tets_{substeps}sub",
         "value": round(steps_per_sec, 2),
         "unit": "frames/s",
         "substeps_per_sec": round(steps_per_sec * substeps, 1),
+        "ms_per_substep": round(per_frame / substeps * 1e3, 3),
     }))
 
 

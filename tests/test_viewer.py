@@ -126,3 +126,72 @@ def test_blob_headers_4byte_aligned(server):
         nl = blob.index(b"\n")
         assert (nl + 1) % 4 == 0, f"{path} header {nl+1} bytes (unaligned)"
         json.loads(blob[:nl])  # padding must not break the JSON
+
+
+# ---------------------------------------------------------------------------
+# Multi-body world: every body rendered, grabs routed to the nearest body
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def multi_server():
+    world = ts.World(ts.PhysicsParams(num_substeps=2))
+    world.add_body(ts.load_dragon(), engine="polar")
+    batch = world.add_body_batch(
+        ts.load_dragon(), 2, engine="polar", jitter=0.0
+    )
+    # separate the batch bodies from body 0 so grab routing is unambiguous
+    import jax.numpy as jnp
+
+    off = jnp.zeros_like(batch.states.pos)
+    n = batch._n
+    off = off.at[:n, 1].add(3.0).at[n:, 1].add(6.0)
+    batch.states = batch.states.replace(
+        pos=batch.states.pos + off, prev_pos=batch.states.prev_pos + off
+    )
+    srv = ViewerServer(world, port=0, fps=30.0).start()
+    yield srv
+    srv.stop()
+
+
+def test_multi_mesh_blob_totals(multi_server):
+    hdr, payload = _split_blob(_get(multi_server.port, "/mesh"))
+    assert hdr["n_vis"] == 29800 * 3
+    assert hdr["n_particles"] == 1234 * 3
+    assert hdr["n_tris"] == 59657 * 3
+    assert hdr["n_edges"] == 6222 * 3
+    assert len(payload) == (hdr["n_tris"] * 3 + hdr["n_edges"] * 2) * 4
+    # triangle indices of the later bodies must be offset past body 0's verts
+    tris = np.frombuffer(payload[: hdr["n_tris"] * 12], "<u4")
+    assert tris[: 59657 * 3].max() < 29800
+    assert tris[59657 * 3 :].min() >= 29800
+
+
+def test_multi_state_blob(multi_server):
+    hdr, payload = _split_blob(_get(multi_server.port, "/state"))
+    nv, np_ = 29800 * 3, 1234 * 3
+    assert len(payload) == (nv * 3 + nv * 3 + np_ * 3) * 4
+    pos = np.frombuffer(payload[-np_ * 12 :], "<f4").reshape(-1, 3)
+    assert np.isfinite(pos).all()
+    # batch body 2 sits ~6 units above body 0 (gravity pulls it down a
+    # little over the first frames, hence the loose margin)
+    assert pos[1234 * 2 :, 1].mean() > pos[:1234, 1].mean() + 3.0
+
+
+def test_multi_grab_routes_to_batch_body(multi_server):
+    # aim at the SECOND batch body's centroid (x ~ +6)
+    hdr, payload = _split_blob(_get(multi_server.port, "/state"))
+    np_ = 1234 * 3
+    pos = np.frombuffer(payload[-np_ * 12 :], "<f4").reshape(-1, 3)
+    c = pos[1234 * 2 :].mean(axis=0)
+    origin = c + np.array([0.0, 0.0, 2.0], np.float32)
+    d = (c - origin) / np.linalg.norm(c - origin)
+    out = _post(multi_server.port, "/grab",
+                {"action": "start", "origin": origin.tolist(), "dir": d.tolist()})
+    gid = out["grabbed"]
+    assert gid >= 1234 * 2, f"grab routed to wrong body (gid={gid})"
+    batch = multi_server.world.bodies[1]
+    assert int(np.asarray(batch.controls.grab_id)[1]) >= 0
+    out = _post(multi_server.port, "/grab", {"action": "end"})
+    assert out["grabbed"] == -1
+    assert int(np.asarray(batch.controls.grab_id)[1]) == -1

@@ -7,13 +7,16 @@ reference's two-backend structure (SURVEY.md §1 L2):
     (the Softbody.js path; exact-order parity via level scheduling)
   * ``polar``      — Müller robust-polar-decomposition shape matching,
     Jacobi iteration (the SoftbodyGPU.js path; embarrassingly parallel)
+  * ``polar_grid`` — same math specialized to structured grid_mesh boxes:
+    gather/scatter replaced by an 8-slab stencil (the TPU scale path)
   * ``golden``     — sequential NumPy oracle for parity tests
 """
-from . import common, golden, neohookean, polar  # noqa: F401
+from . import common, golden, neohookean, polar, polar_grid  # noqa: F401
 
 ENGINES = {
     "neohookean": neohookean,
     "polar": polar,
+    "polar_grid": polar_grid,
 }
 
 

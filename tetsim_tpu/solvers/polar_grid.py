@@ -1,0 +1,444 @@
+"""Structured-grid polar engine — the TPU-native scale path for box meshes.
+
+The generic polar engine (polar.py) is *gather-bound* at large tet counts:
+its corner gather (4M random rows) and incidence gather (N x valence rows)
+cost ~2.5 ns/row through HBM — a 26 ms floor at 1M tets (BENCHNOTES.md),
+exactly the scatter problem the reference fought with its 9-texture
+particle tables (SoftbodyGPU.js:29-37).
+
+For meshes produced by ``mesh.grid_mesh`` (nx*ny*nz cubes, each Kuhn-split
+into 6 tets — the BASELINE 1M-tet workload) the connectivity is *regular*:
+every tet corner sits at one of the 8 cube-corner offsets.  This engine
+exploits that to ELIMINATE indirection entirely:
+
+  * corner "gather"  -> 8 shifted-slab reads of the vertex grid
+                        (static slices — contiguous, full HBM bandwidth),
+  * particle scatter -> 8 accumulator slabs combined with shifted
+                        static-slice adds (a stencil, like a 2x2x2 conv).
+
+All arithmetic is component-wise over flat [C]-shaped f32 arrays (C = cube
+count): TPU tiles the two minormost dims to (8,128), so trailing small axes
+like [...,4,3] would pad catastrophically — structure-of-arrays is the
+layout that wastes nothing.  The math itself is identical to polar.py
+(Mueller extractRotation, SoftbodyGPU.js:80-185; volume-weighted Jacobi
+averaging, SoftbodyGPU.js:302-320) — same formulas, same operation order
+per tet, so trajectories match the generic engine to f32 accumulation
+order (~1e-7/substep).
+
+State layout: the public SimState is unchanged (pos [N,3], quats [M,4]
+with the grid_mesh type-major tet order); step_frame converts to component
+arrays once per frame around the substep scan.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..mesh import TetMesh
+from ..params import PhysicsParams
+from ..state import SimState, Controls
+
+_EXTRACT_ITERS = 9  # SoftbodyGPU.js:123
+_EPS = 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Build: derive the static stencil description from a grid_mesh
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class GridArrays:
+    """Stencil-form mesh constants for a grid_mesh box.
+
+    Everything structural is *static* (baked into the jitted program):
+    corner offsets, rest shapes (72 floats), rest volume.  Only the
+    per-particle fields (inv_mass gate, scatter denominator) are traced
+    arrays, shaped as the vertex grid [gx,gy,gz].
+    """
+
+    # static stencil structure ------------------------------------------------
+    dims: Tuple[int, int, int] = struct.field(pytree_node=False)  # cubes
+    # per type t (0..5), per corner k (0..3): index into the 8 slab offsets
+    corner_slab: Tuple = struct.field(pytree_node=False)  # [6][4] int
+    slab_offsets: Tuple = struct.field(pytree_node=False)  # [8] (dx,dy,dz)
+    rest_centered: Tuple = struct.field(pytree_node=False)  # [6][4][3] float
+    rest_volume: float = struct.field(pytree_node=False)  # scalar (uniform)
+    # traced per-particle fields ----------------------------------------------
+    inv_mass: jnp.ndarray = None  # f32 [gx,gy,gz]
+    den: jnp.ndarray = None  # f32 [gx,gy,gz] static scatter-weight sum
+
+    @property
+    def num_particles(self) -> int:
+        nx, ny, nz = self.dims
+        return (nx + 1) * (ny + 1) * (nz + 1)
+
+    @property
+    def num_tets(self) -> int:
+        nx, ny, nz = self.dims
+        return 6 * nx * ny * nz
+
+
+_SLAB_OFFSETS = tuple(
+    (dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
+)
+
+
+def build_grid_arrays(
+    mesh: TetMesh,
+    dims: Tuple[int, int, int],
+    density: float = 1000.0,
+    pinned=None,
+) -> GridArrays:
+    """Build the stencil description for a ``grid_mesh(nx,ny,nz)`` mesh.
+
+    The corner offsets and rest shapes are decoded from the actual mesh
+    arrays (cube 0 of each tet type) rather than re-derived, so the engine
+    matches ``build_arrays`` conventions exactly — including grid_mesh's
+    positive-orientation corner swap (mesh.py) and the centroid add order
+    that makes exact rest a fixed point (mesh.rest_state).
+    """
+    nx, ny, nz = dims
+    gx, gy, gz = nx + 1, ny + 1, nz + 1
+    ncubes = nx * ny * nz
+    if mesh.num_tets != 6 * ncubes or mesh.num_particles != gx * gy * gz:
+        raise ValueError(
+            f"mesh ({mesh.num_tets} tets / {mesh.num_particles} particles) "
+            f"is not a grid_mesh({nx},{ny},{nz}) "
+            f"(expected {6*ncubes} / {gx*gy*gz})"
+        )
+
+    def decode(vid):
+        # vid = (i*gy + j)*gz + k  (mesh.grid_mesh vertex numbering)
+        k = vid % gz
+        j = (vid // gz) % gy
+        i = vid // (gy * gz)
+        return int(i), int(j), int(k)
+
+    slab_index = {off: s for s, off in enumerate(_SLAB_OFFSETS)}
+    corner_slab = []
+    rest_centered = []
+    vol0 = None
+    verts = mesh.verts
+    for t in range(6):
+        row = mesh.tets[t * ncubes]  # cube (0,0,0) of type t
+        offs = [decode(int(v)) for v in row]
+        if any(o not in slab_index for o in offs):
+            raise ValueError("mesh tets do not follow grid_mesh cube layout")
+        corner_slab.append(tuple(slab_index[o] for o in offs))
+        p = verts[row].astype(np.float32)  # [4,3]
+        centroid = (((p[0] + p[1]) + p[2]) + p[3]) * np.float32(0.25)
+        rc = p - centroid
+        rest_centered.append(tuple(tuple(float(x) for x in corner) for corner in rc))
+        d = np.stack([p[1] - p[0], p[2] - p[0], p[3] - p[0]], axis=-1)
+        v = float(np.linalg.det(d.astype(np.float64)) / 6.0)
+        if vol0 is None:
+            vol0 = v
+        elif not math.isclose(v, vol0, rel_tol=1e-5):
+            raise ValueError("grid_mesh tets are not uniform volume")
+    w32 = float(np.float32(vol0))  # match rest_state's f64 det -> f32 vol
+
+    # incidence count per vertex: how many tet-corner instances land there
+    count = np.zeros((gx, gy, gz), np.int64)
+    for t in range(6):
+        for k in range(4):
+            dx, dy, dz = _SLAB_OFFSETS[corner_slab[t][k]]
+            count[dx : dx + nx, dy : dy + ny, dz : dz + nz] += 1
+    # scatter denominator — mirrors mesh.build_incidence (f64 accumulate of
+    # the f32 rest volume, then f32)
+    den = (count * np.float64(w32)).astype(np.float32)
+
+    # lumped mass (rest_state math): each tet adds V/4*density to its corners
+    pm = np.float32(vol0 / 4.0 * density)
+    mass = count.astype(np.float32) * pm
+    inv_mass = np.where(mass > 0.0, 1.0 / mass, 0.0).astype(np.float32)
+    if pinned is not None:
+        flat = inv_mass.reshape(-1)
+        flat[np.asarray(pinned, np.int64)] = 0.0
+        inv_mass = flat.reshape(gx, gy, gz)
+
+    return GridArrays(
+        dims=(nx, ny, nz),
+        corner_slab=tuple(corner_slab),
+        slab_offsets=_SLAB_OFFSETS,
+        rest_centered=tuple(rest_centered),
+        rest_volume=w32,
+        inv_mass=jnp.asarray(inv_mass),
+        den=jnp.asarray(den),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Component-wise quaternion/matrix helpers (flat [C] arrays)
+# ---------------------------------------------------------------------------
+
+
+def _qrot_const(v, qx, qy, qz, qw):
+    """Rotate the constant 3-vector v by quaternions q (xyzw components).
+
+    Same algebra as polar.quat_rotate: v + 2*u x (u x v + w*v)."""
+    vx, vy, vz = v
+    tx = qy * vz - qz * vy + qw * vx
+    ty = qz * vx - qx * vz + qw * vy
+    tz = qx * vy - qy * vx + qw * vz
+    rx = qy * tz - qz * ty
+    ry = qz * tx - qx * tz
+    rz = qx * ty - qy * tx
+    return vx + 2.0 * rx, vy + 2.0 * ry, vz + 2.0 * rz
+
+
+def _qmul(ax, ay, az, aw, bx, by, bz, bw):
+    """Hamilton product a*b, xyzw (polar.quat_mul)."""
+    return (
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+        aw * bw - ax * bx - ay * by - az * bz,
+    )
+
+
+def _extract_rotation(a, iters=_EXTRACT_ITERS):
+    """Mueller robust polar decomposition, component-wise.
+
+    ``a`` is the 3x3 covariance as a [3][3] list of [C] arrays (a[r][c]).
+    Starts from the identity quaternion (polar.solve_shape_match) and runs
+    the fixed-trip masked-update iteration (SoftbodyGPU.js:122-139)."""
+    qx = jnp.zeros_like(a[0][0])
+    qy, qz = qx, qx
+    qw = jnp.ones_like(a[0][0])
+    for _ in range(iters):
+        # rotation matrix columns from q (polar.quat_to_mat closed form)
+        xx, yy, zz = qx * qx, qy * qy, qz * qz
+        xy, xz, yz = qx * qy, qx * qz, qy * qz
+        xw, yw, zw = qx * qw, qy * qw, qz * qw
+        m = (
+            (1 - 2 * (yy + zz), 2 * (xy - zw), 2 * (xz + yw)),
+            (2 * (xy + zw), 1 - 2 * (xx + zz), 2 * (yz - xw)),
+            (2 * (xz - yw), 2 * (yz + xw), 1 - 2 * (xx + yy)),
+        )
+        # omega = sum_c cross(Rcol_c, Acol_c) / (|sum_rc R.A| + eps)
+        ox = sum(m[1][c] * a[2][c] - m[2][c] * a[1][c] for c in range(3))
+        oy = sum(m[2][c] * a[0][c] - m[0][c] * a[2][c] for c in range(3))
+        oz = sum(m[0][c] * a[1][c] - m[1][c] * a[0][c] for c in range(3))
+        den = (
+            jnp.abs(sum(m[r][c] * a[r][c] for r in range(3) for c in range(3)))
+            + _EPS
+        )
+        ox, oy, oz = ox / den, oy / den, oz / den
+        angle = jnp.sqrt(ox * ox + oy * oy + oz * oz)
+        live = angle >= _EPS
+        inv = 1.0 / jnp.where(live, angle, 1.0)
+        half = angle * 0.5
+        s = jnp.sin(half) * inv
+        dx, dy, dz, dw = ox * s, oy * s, oz * s, jnp.cos(half)
+        nqx, nqy, nqz, nqw = _qmul(dx, dy, dz, dw, qx, qy, qz, qw)
+        qx = jnp.where(live, nqx, qx)
+        qy = jnp.where(live, nqy, qy)
+        qz = jnp.where(live, nqz, qz)
+        qw = jnp.where(live, nqw, qw)
+    return qx, qy, qz, qw
+
+
+# ---------------------------------------------------------------------------
+# The stencil substep
+# ---------------------------------------------------------------------------
+
+
+def _solve(px, py, pz, quats, g: GridArrays):
+    """One Jacobi shape-matching iteration on grid-component state.
+
+    px/py/pz: [gx,gy,gz].  quats: [6][4] of [C].  Returns updated fields.
+    """
+    nx, ny, nz = g.dims
+
+    def slab(P, off):
+        dx, dy, dz = off
+        return P[dx : dx + nx, dy : dy + ny, dz : dz + nz].reshape(-1)
+
+    # the 8 shifted corner views, read once and shared by all 6 tet types
+    sx = [slab(px, o) for o in g.slab_offsets]
+    sy = [slab(py, o) for o in g.slab_offsets]
+    sz = [slab(pz, o) for o in g.slab_offsets]
+
+    zero = jnp.zeros_like(sx[0])
+    accx = [zero] * 8
+    accy = [zero] * 8
+    accz = [zero] * 8
+    w = g.rest_volume
+    new_quats = []
+
+    for t in range(6):
+        ks = g.corner_slab[t]
+        cx = [sx[s] for s in ks]
+        cy = [sy[s] for s in ks]
+        cz = [sz[s] for s in ks]
+        # centroid with the canonical add order (mesh.rest_state /
+        # polar.solve_shape_match): (((p0+p1)+p2)+p3) * 0.25
+        ccx = (((cx[0] + cx[1]) + cx[2]) + cx[3]) * 0.25
+        ccy = (((cy[0] + cy[1]) + cy[2]) + cy[3]) * 0.25
+        ccz = (((cz[0] + cz[1]) + cz[2]) + cz[3]) * 0.25
+        pcx = [c - ccx for c in cx]
+        pcy = [c - ccy for c in cy]
+        pcz = [c - ccz for c in cz]
+
+        qx, qy, qz, qw = quats[t]
+        rr = [_qrot_const(g.rest_centered[t][k], qx, qy, qz, qw) for k in range(4)]
+        # covariance A[r][c] = sum_k cur_k[r] * rest_rot_k[c] (mat3.outer_sum)
+        cur = (pcx, pcy, pcz)
+        a = [
+            [sum(cur[r][k] * rr[k][c] for k in range(4)) for c in range(3)]
+            for r in range(3)
+        ]
+        ix, iy, iz, iw = _extract_rotation(a)
+        qx, qy, qz, qw = _qmul(ix, iy, iz, iw, qx, qy, qz, qw)
+        norm = jnp.sqrt(qx * qx + qy * qy + qz * qz + qw * qw)
+        qx, qy, qz, qw = qx / norm, qy / norm, qz / norm, qw / norm
+        new_quats.append((qx, qy, qz, qw))
+
+        for k in range(4):
+            gx_, gy_, gz_ = _qrot_const(g.rest_centered[t][k], qx, qy, qz, qw)
+            s = ks[k]
+            accx[s] = accx[s] + (gx_ - pcx[k]) * w
+            accy[s] = accy[s] + (gy_ - pcy[k]) * w
+            accz[s] = accz[s] + (gz_ - pcz[k]) * w
+
+    # combine the 8 accumulator slabs into the vertex grid (inverse stencil)
+    def combine(acc):
+        out = jnp.zeros_like(px)
+        for s, (dx, dy, dz) in enumerate(g.slab_offsets):
+            out = out.at[dx : dx + nx, dy : dy + ny, dz : dz + nz].add(
+                acc[s].reshape(nx, ny, nz)
+            )
+        return out
+
+    numx, numy, numz = combine(accx), combine(accy), combine(accz)
+    d = jnp.maximum(g.den, _EPS)
+    movable = g.inv_mass > 0.0
+    px = jnp.where(movable, px + numx / d, px)
+    py = jnp.where(movable, py + numy / d, py)
+    pz = jnp.where(movable, pz + numz / d, pz)
+    return px, py, pz, new_quats
+
+
+def _substep(carry, g: GridArrays, params: PhysicsParams, dt, controls: Controls):
+    px, py, pz, vx, vy, vz, quats = carry
+    movable = g.inv_mass > 0.0
+
+    # predict (common.predict semantics: gravity in prediction, pinned gate)
+    vy = vy + params.gravity * dt
+    vx = jnp.where(movable, vx, 0.0)
+    vy = jnp.where(movable, vy, 0.0)
+    vz = jnp.where(movable, vz, 0.0)
+    ppx, ppy, ppz = px, py, pz
+    px, py, pz = px + vx * dt, py + vy * dt, pz + vz * dt
+
+    px, py, pz, quats = _solve(px, py, pz, quats, g)
+
+    # collide (common.collide semantics)
+    px = jnp.clip(px, params.world_min[0], params.world_max[0])
+    py = jnp.clip(py, params.world_min[1], params.world_max[1])
+    pz = jnp.clip(pz, params.world_min[2], params.world_max[2])
+    below = py < 0.0
+    py = jnp.where(below, 0.0, py)
+    k = jnp.minimum(1.0, dt * params.friction)
+    px = px + jnp.where(below, (ppx - px) * k, 0.0)
+    pz = pz + jnp.where(below, (ppz - pz) * k, 0.0)
+
+    # grab override (common.apply_grab, scalar grab id)
+    gid = controls.grab_id
+    if gid.ndim != 0:
+        raise NotImplementedError(
+            "polar_grid supports the scalar grab_id form; use the generic "
+            "polar engine for flattened multi-body vector grabs"
+        )
+    shape = px.shape
+    gyz = shape[1] * shape[2]
+    i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    pid = i * gyz + j * shape[2] + kk
+    hit = pid == gid
+    px = jnp.where(hit, controls.grab_pos[0], px)
+    py = jnp.where(hit, controls.grab_pos[1], py)
+    pz = jnp.where(hit, controls.grab_pos[2], pz)
+
+    # velocity update
+    vx, vy, vz = (px - ppx) / dt, (py - ppy) / dt, (pz - ppz) / dt
+    return (px, py, pz, vx, vy, vz, quats), jnp.float32(0.0)
+
+
+# ---------------------------------------------------------------------------
+# SimState <-> component conversion (once per frame)
+# ---------------------------------------------------------------------------
+
+
+def _to_components(state: SimState, g: GridArrays):
+    nx, ny, nz = g.dims
+    gx, gy, gz = nx + 1, ny + 1, nz + 1
+    ncubes = nx * ny * nz
+
+    def grid3(flat):
+        return (
+            flat[:, 0].reshape(gx, gy, gz),
+            flat[:, 1].reshape(gx, gy, gz),
+            flat[:, 2].reshape(gx, gy, gz),
+        )
+
+    px, py, pz = grid3(state.pos)
+    vx, vy, vz = grid3(state.vel)
+    q = state.quats.reshape(6, ncubes, 4)
+    quats = [tuple(q[t, :, c] for c in range(4)) for t in range(6)]
+    return (px, py, pz, vx, vy, vz, quats)
+
+
+def _from_components(carry, state: SimState, g: GridArrays, prev) -> SimState:
+    px, py, pz, vx, vy, vz, quats = carry
+    n = g.num_particles
+    pos = jnp.stack([px.reshape(n), py.reshape(n), pz.reshape(n)], axis=-1)
+    vel = jnp.stack([vx.reshape(n), vy.reshape(n), vz.reshape(n)], axis=-1)
+    ppx, ppy, ppz = prev
+    prev_pos = jnp.stack(
+        [ppx.reshape(n), ppy.reshape(n), ppz.reshape(n)], axis=-1
+    )
+    q = jnp.stack(
+        [jnp.stack(quats[t], axis=-1) for t in range(6)], axis=0
+    ).reshape(-1, 4)
+    return state.replace(pos=pos, prev_pos=prev_pos, vel=vel, quats=q)
+
+
+def substep(state, arr: GridArrays, params, dt, controls, axis_name=None):
+    """Single-substep entry matching the engine API (used by tests)."""
+    del axis_name
+    carry = _to_components(state, arr)
+    prev = carry[:3]
+    carry, diag = _substep(carry, arr, params, dt, controls)
+    return _from_components(carry, state, arr, prev), diag
+
+
+def step_frame(
+    state: SimState,
+    arr: GridArrays,
+    params: PhysicsParams,
+    controls: Controls,
+    axis_name=None,
+):
+    """One frame = params.num_substeps stencil substeps in a single trace."""
+    del axis_name  # sharding of the grid engine uses spatial halos, not psum
+    dt = params.dt
+    carry0 = _to_components(state, arr)
+
+    def body(carry_prev, _):
+        carry, _ = carry_prev
+        prev = carry[:3]
+        carry, diag = _substep(carry, arr, params, dt, controls)
+        return (carry, prev), diag
+
+    (carry, prev), diags = jax.lax.scan(
+        body, (carry0, carry0[:3]), None, length=params.num_substeps
+    )
+    return _from_components(carry, state, arr, prev), diags

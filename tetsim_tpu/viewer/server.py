@@ -4,6 +4,13 @@ turned inside-out for a TPU host: the simulation loop runs here (device-side),
 and a thin WebGL2 client (static/index.html, written from scratch — no
 three.js) renders whatever the server exports and sends grab rays back.
 
+Every body in the World is rendered — single ``Body``s, flattened
+``BatchedBody`` batches, and fused-kernel ``FusedGSBody`` batches — matching
+the reference's multi-body scene list (physicsScene.softBodies,
+main.js:51,67-68).  Geometry is concatenated into one set of buffers with
+per-body index offsets; grab rays are routed to the nearest particle across
+all bodies.
+
 Protocol (all HTTP/1.1 on localhost, stdlib only — no websocket dependency):
 
   GET  /            the client page
@@ -36,7 +43,8 @@ import jax
 import jax.numpy as jnp
 
 from ..params import PhysicsParams
-from ..world import World, Body
+from ..state import Controls, init_state
+from ..world import World, Body, BatchedBody, _Surface
 
 _STATIC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "static")
 
@@ -65,6 +73,133 @@ def _nearest_to_ray(pos, origin, direction):
     return i.astype(jnp.int32), t[i], jnp.sqrt(d2[i])
 
 
+class _View:
+    """Render + interaction adapter over one ``world.bodies`` entry
+    (Body, BatchedBody, or FusedGSBody)."""
+
+    def __init__(self, body):
+        self.body = body
+        self._grab_sub = None  # sub-body index of an active grab (batches)
+        if isinstance(body, Body):
+            self.kind = "body"
+            self.n_particles = body.mesh.num_particles
+            self.surface = body._surface
+            self.edges = body.mesh.edges
+            self._state0 = body.state
+        elif isinstance(body, BatchedBody):
+            self.kind = "batched"
+            self.n_particles = body.flat_mesh.num_particles
+            self.surface = body._surface
+            self.edges = body.flat_mesh.edges
+            self._state0 = body.states
+        else:
+            from ..kernels.gs_fused import FusedGSBody
+
+            if not isinstance(body, FusedGSBody):
+                raise ValueError(
+                    f"viewer cannot render body of type {type(body).__name__}"
+                )
+            from ..mesh import replicate_mesh
+
+            self.kind = "fused"
+            flat = replicate_mesh(body.mesh, body.num_bodies)
+            self.n_particles = flat.num_particles
+            self.surface = (
+                _Surface(flat) if flat.vis_tet_ids is not None else None
+            )
+            self.edges = flat.edges
+            self._state0 = body.state
+        self.n_vis = (
+            0 if self.surface is None else int(self.surface.skin_w.shape[0])
+        )
+        self.n_tris = (
+            0 if self.surface is None else int(self.surface.tris.shape[0])
+        )
+        self.n_edges = 0 if self.edges is None else int(self.edges.shape[0])
+
+    # -- per-frame data ------------------------------------------------------
+    def pos_device(self):
+        """Flat [n_particles, 3] device positions."""
+        if self.kind == "body":
+            return self.body.state.pos
+        if self.kind == "batched":
+            return self.body.states.pos
+        return jnp.asarray(self.body.positions().reshape(-1, 3))
+
+    def surface_data(self, pos):
+        """(verts, normals) numpy [n_vis,3] — empty when no surface."""
+        if self.surface is None:
+            z = np.zeros((0, 3), np.float32)
+            return z, z
+        v, n, _ = self.surface.mesh_data(pos, None, "smooth")
+        return v, n
+
+    # -- interaction -----------------------------------------------------------
+    def grab_start(self, pid: int, point):
+        if self.kind == "body":
+            self.body.controls = Controls(
+                grab_id=jnp.int32(pid),
+                grab_pos=jnp.asarray(point, jnp.float32),
+            )
+        elif self.kind == "batched":
+            sub = pid // self.body._n
+            self._grab_sub = sub
+            self.body.controls = Controls(
+                grab_id=self.body.controls.grab_id.at[sub].set(pid),
+                grab_pos=self.body.controls.grab_pos.at[sub].set(
+                    jnp.asarray(point, jnp.float32)
+                ),
+            )
+        else:
+            n = self.body.sched.num_particles
+            sub = pid // n
+            self._grab_sub = sub
+            self.body.set_grab(sub, pid % n, point)
+
+    def grab_move(self, point):
+        if self.kind == "body":
+            self.body.move_grabbed(point)
+        elif self._grab_sub is not None:
+            self.body.move_grabbed(self._grab_sub, point)
+
+    def grab_end(self):
+        if self.kind == "body":
+            self.body.end_grab()
+        elif self._grab_sub is not None:
+            self.body.end_grab(self._grab_sub)
+        self._grab_sub = None
+
+    def grabbed_id(self) -> int:
+        """Currently grabbed particle id (view-local flat index), or -1."""
+        if self.kind == "body":
+            return int(self.body.controls.grab_id)
+        if self.kind == "batched":
+            g = np.asarray(self.body.controls.grab_id)
+            active = g[g >= 0]
+            return int(active[0]) if active.size else -1
+        g = np.asarray(self.body.grab_id[: self.body.num_bodies, 0])
+        sub = np.nonzero(g >= 0)[0]
+        if not sub.size:
+            return -1
+        return int(sub[0]) * self.body.sched.num_particles + int(g[sub[0]])
+
+    def reset(self):
+        if self.kind == "body":
+            self.body.state = self._state0
+            self.body.end_grab()
+        elif self.kind == "batched":
+            self.body.states = self._state0
+            self.body.controls = Controls(
+                grab_id=jnp.full((self.body.num_bodies,), -1, jnp.int32),
+                grab_pos=jnp.zeros((self.body.num_bodies, 3), jnp.float32),
+            )
+        else:
+            self.body.state = self._state0
+            for b in range(self.body.num_bodies):
+                self.body.end_grab(b)
+        self._grab_sub = None
+
+
 class ViewerServer:
     """Runs `world` at a fixed frame rate in a background thread and serves
     the viewer protocol.  Interaction is applied between frames under a
@@ -81,7 +216,7 @@ class ViewerServer:
         if not world.bodies:
             raise ValueError("world has no bodies")
         self.world = world
-        self.body: Body = world.bodies[0]
+        self.views = [_View(b) for b in world.bodies]
         self.host, self.port = host, port
         self.frame_dt = 1.0 / fps
         self.grab_radius = grab_radius
@@ -90,29 +225,48 @@ class ViewerServer:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._grab_depth = None
+        self._grab_view: _View | None = None
         self._sim_thread = None
         self._httpd = None
 
-        b = self.body
-        if b._skin_ids is None:
-            raise ValueError("viewer needs a mesh with an embedded surface")
-        self._n_vis = int(b._skin_w.shape[0])
-        self._n_part = int(b.state.pos.shape[0])
+        self._n_vis = sum(v.n_vis for v in self.views)
+        self._n_part = sum(v.n_particles for v in self.views)
+
+    @property
+    def body(self):
+        """First body in the world (back-compat convenience)."""
+        return self.world.bodies[0]
 
     # -- static geometry blob ---------------------------------------------
     def mesh_blob(self) -> bytes:
-        b = self.body
-        m = b.mesh
         header = {
             "n_vis": self._n_vis,
-            "n_tris": int(m.tris.shape[0]),
+            "n_tris": sum(v.n_tris for v in self.views),
             "n_particles": self._n_part,
-            "n_edges": int(m.edges.shape[0]) if m.edges is not None else 0,
+            "n_edges": sum(v.n_edges for v in self.views),
         }
-        tris = np.ascontiguousarray(m.tris, np.uint32)
+        tris_parts, edge_parts = [], []
+        vert_off = 0
+        part_off = 0
+        for v in self.views:
+            if v.n_tris:
+                tris_parts.append(
+                    np.ascontiguousarray(v.surface.tris, np.uint32) + np.uint32(vert_off)
+                )
+            if v.n_edges:
+                edge_parts.append(
+                    np.ascontiguousarray(v.edges, np.uint32) + np.uint32(part_off)
+                )
+            vert_off += v.n_vis
+            part_off += v.n_particles
+        tris = (
+            np.concatenate(tris_parts, axis=0)
+            if tris_parts
+            else np.zeros((0, 3), np.uint32)
+        )
         edges = (
-            np.ascontiguousarray(m.edges, np.uint32)
-            if m.edges is not None
+            np.concatenate(edge_parts, axis=0)
+            if edge_parts
             else np.zeros((0, 2), np.uint32)
         )
         hdr = _pad_header(json.dumps(header).encode())
@@ -121,44 +275,62 @@ class ViewerServer:
     # -- per-frame state blob ----------------------------------------------
     def state_blob(self) -> bytes:
         with self._lock:
-            verts, normals, _ = self.body.surface_mesh()
-            pos = self.body.positions
+            verts, normals, parts = [], [], []
+            grabbed = -1
+            off = 0
+            for v in self.views:
+                pos = v.pos_device()
+                sv, sn = v.surface_data(pos)
+                verts.append(sv)
+                normals.append(sn)
+                parts.append(np.asarray(pos))
+                if grabbed < 0:
+                    g = v.grabbed_id()
+                    if g >= 0:
+                        grabbed = off + g
+                off += v.n_particles
             diag = {
                 "frame": self.frame,
                 "step_ms": round(self.last_step_ms, 3),
-                "grabbed": int(self.body.controls.grab_id),
+                "grabbed": grabbed,
             }
         hdr = _pad_header(json.dumps(diag).encode())
         return (
             hdr
-            + verts.astype("<f4").tobytes()
-            + normals.astype("<f4").tobytes()
-            + pos.astype("<f4").tobytes()
+            + np.concatenate(verts).astype("<f4").tobytes()
+            + np.concatenate(normals).astype("<f4").tobytes()
+            + np.concatenate(parts).astype("<f4").tobytes()
         )
 
     # -- interaction (synchronous, under the sim lock) -----------------------
     def grab(self, action: str, origin=None, direction=None) -> dict:
-        """Apply a grab action; returns {"grabbed": id or -1}.
+        """Apply a grab action; returns {"grabbed": id or -1} (id in the
+        concatenated particle index space).
 
-        Actions mutate ``body.controls`` atomically between frames; the
-        solver then enforces pos[grab_id] = grab_pos every substep exactly
-        like the reference (Softbody.js:233-235)."""
+        Actions mutate the target body's controls atomically between frames;
+        the solver then enforces pos[grab_id] = grab_pos every substep
+        exactly like the reference (Softbody.js:233-235)."""
         if action == "start":
             o = np.asarray(origin, np.float32)
             d = np.asarray(direction, np.float32)
             d = d / max(np.linalg.norm(d), 1e-12)
             with self._lock:
-                i, t, dist = _nearest_to_ray(
-                    self.body.state.pos, jnp.asarray(o), jnp.asarray(d)
-                )
-                if float(dist) <= self.grab_radius:
-                    self._grab_depth = float(t)
-                    point = o + d * self._grab_depth
-                    self.body.controls = self.body.controls.replace(
-                        grab_id=jnp.int32(int(i)),
-                        grab_pos=jnp.asarray(point, jnp.float32),
+                best = None  # (dist, view, pid, depth, global id)
+                off = 0
+                for v in self.views:
+                    i, t, dist = _nearest_to_ray(
+                        v.pos_device(), jnp.asarray(o), jnp.asarray(d)
                     )
-                    return {"grabbed": int(i)}
+                    dist = float(dist)
+                    if best is None or dist < best[0]:
+                        best = (dist, v, int(i), float(t), off + int(i))
+                    off += v.n_particles
+                if best is not None and best[0] <= self.grab_radius:
+                    _, view, pid, depth, gid = best
+                    self._grab_depth = depth
+                    self._grab_view = view
+                    view.grab_start(pid, o + d * depth)
+                    return {"grabbed": gid}
             return {"grabbed": -1}
 
         if action == "move":
@@ -166,15 +338,23 @@ class ViewerServer:
             d = np.asarray(direction, np.float32)
             d = d / max(np.linalg.norm(d), 1e-12)
             with self._lock:
-                if self._grab_depth is not None:
-                    self.body.move_grabbed(o + d * self._grab_depth)
-                    return {"grabbed": int(self.body.controls.grab_id)}
+                if self._grab_depth is not None and self._grab_view is not None:
+                    self._grab_view.grab_move(o + d * self._grab_depth)
+                    gid, off = -1, 0
+                    for v in self.views:
+                        if v is self._grab_view:
+                            gid = off + v.grabbed_id()
+                            break
+                        off += v.n_particles
+                    return {"grabbed": gid}
             return {"grabbed": -1}
 
         if action == "end":
             with self._lock:
                 self._grab_depth = None
-                self.body.end_grab()
+                if self._grab_view is not None:
+                    self._grab_view.grab_end()
+                    self._grab_view = None
             return {"grabbed": -1}
 
         raise ValueError(f"unknown grab action {action!r}")
@@ -195,12 +375,11 @@ class ViewerServer:
             self.world.params = p.replace(**fields)
 
     def reset(self):
-        from ..state import init_state
-
         with self._lock:
-            self.body.state = init_state(self.body.mesh)
+            for v in self.views:
+                v.reset()
             self._grab_depth = None
-            self.body.end_grab()
+            self._grab_view = None
 
     # -- sim loop ------------------------------------------------------------
     def _run_sim(self):
@@ -303,7 +482,8 @@ class ViewerServer:
 
 
 def main():
-    """CLI: python -m tetsim_tpu.viewer.server [--engine polar] [--port 8787]"""
+    """CLI: python -m tetsim_tpu.viewer.server [--engine polar] [--port 8787]
+    [--bodies N] — N > 1 renders a draggable batch (BatchedBody)."""
     import argparse
 
     ap = argparse.ArgumentParser(description="tetsim_tpu interactive viewer")
@@ -311,6 +491,7 @@ def main():
     ap.add_argument("--port", type=int, default=8787)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--substeps", type=int, default=None)
+    ap.add_argument("--bodies", type=int, default=1)
     args = ap.parse_args()
 
     from ..mesh import load_dragon
@@ -320,7 +501,12 @@ def main():
     if args.substeps:
         params = params.replace(num_substeps=args.substeps)
     world = World(params)
-    world.add_body(load_dragon(), engine=args.engine)
+    if args.bodies > 1:
+        world.add_body_batch(
+            load_dragon(), args.bodies, engine=args.engine, jitter=0.5
+        )
+    else:
+        world.add_body(load_dragon(), engine=args.engine)
     ViewerServer(world, host=args.host, port=args.port).start().serve_forever()
 
 

@@ -66,6 +66,42 @@ def _vertex_normals(verts, tris):
     return n / jnp.maximum(norm, 1e-12)
 
 
+class _Surface:
+    """Embedded-surface render tables + skinning for one (possibly
+    flattened multi-body) mesh — shared by Body and BatchedBody.
+
+    Wraps the reference's visMesh machinery (barycentric skinning
+    Softbody.js:259-277; rotated rest normals SoftbodyGPU.js:424-448)."""
+
+    def __init__(self, mesh: TetMesh):
+        self.skin_ids = jnp.asarray(mesh.tets[mesh.vis_tet_ids])  # [S,4]
+        b = mesh.vis_bary
+        w = np.concatenate([b, 1.0 - b.sum(axis=1, keepdims=True)], axis=1)
+        self.skin_w = jnp.asarray(w.astype(np.float32))  # [S,4]
+        self.tris = jnp.asarray(mesh.tris)
+        self.vis_tet_ids = jnp.asarray(mesh.vis_tet_ids)
+        rest_verts = _skin_surface(
+            jnp.asarray(mesh.verts, jnp.float32), self.skin_ids, self.skin_w
+        )
+        self.rest_normals = _vertex_normals(rest_verts, self.tris)
+
+    def mesh_data(self, pos, quats=None, normals: str = "smooth"):
+        """(verts [S,3], normals [S,3], tris [T,3]) — device compute, one
+        transfer.  normals="rotated" needs per-tet quats (polar path)."""
+        verts = _skin_surface(pos, self.skin_ids, self.skin_w)
+        if normals == "smooth":
+            nrm = _vertex_normals(verts, self.tris)
+        elif normals == "rotated":
+            if quats is None:
+                raise ValueError(
+                    "rotated normals need per-tet quaternions (polar engine)"
+                )
+            nrm = _rotated_normals(self.rest_normals, quats, self.vis_tet_ids)
+        else:
+            raise ValueError(f"unknown normals mode {normals!r}")
+        return np.asarray(verts), np.asarray(nrm), np.asarray(self.tris)
+
+
 class Body:
     """One soft body: mesh constants + simulation state + interaction.
 
@@ -96,17 +132,11 @@ class Body:
         self.last_diag = None
 
         if mesh.vis_tet_ids is not None:
-            self._skin_ids = jnp.asarray(mesh.tets[mesh.vis_tet_ids])  # [S,4]
-            b = mesh.vis_bary
-            w = np.concatenate([b, 1.0 - b.sum(axis=1, keepdims=True)], axis=1)
-            self._skin_w = jnp.asarray(w.astype(np.float32))  # [S,4]
-            self._tris = jnp.asarray(mesh.tris)
-            self._vis_tet_ids = jnp.asarray(mesh.vis_tet_ids)
-            rest_verts = _skin_surface(
-                jnp.asarray(mesh.verts, jnp.float32), self._skin_ids, self._skin_w
-            )
-            self._rest_normals = _vertex_normals(rest_verts, self._tris)
+            self._surface = _Surface(mesh)
+            self._skin_ids = self._surface.skin_ids
+            self._skin_w = self._surface.skin_w
         else:
+            self._surface = None
             self._skin_ids = None
 
     # -- stepping ---------------------------------------------------------
@@ -178,22 +208,10 @@ class Body:
                           quaternion (reference GPU path,
                           SoftbodyGPU.js:424-448; polar engine only).
         """
-        if self._skin_ids is None:
+        if self._surface is None:
             raise ValueError("mesh has no embedded render surface")
-        verts = _skin_surface(self.state.pos, self._skin_ids, self._skin_w)
-        if normals == "smooth":
-            nrm = _vertex_normals(verts, self._tris)
-        elif normals == "rotated":
-            if self.engine != "polar":
-                raise ValueError(
-                    "rotated normals need per-tet quaternions (polar engine)"
-                )
-            nrm = _rotated_normals(
-                self._rest_normals, self.state.quats, self._vis_tet_ids
-            )
-        else:
-            raise ValueError(f"unknown normals mode {normals!r}")
-        return np.asarray(verts), np.asarray(nrm), np.asarray(self.mesh.tris)
+        quats = self.state.quats if self.engine == "polar" else None
+        return self._surface.mesh_data(self.state.pos, quats, normals)
 
 
 class BatchedBody:
@@ -234,6 +252,11 @@ class BatchedBody:
             grab_pos=jnp.zeros((num_bodies, 3), jnp.float32),
         )
         self.last_diag = None
+        self._surface = (
+            _Surface(self.flat_mesh)
+            if self.flat_mesh.vis_tet_ids is not None
+            else None
+        )
 
     def step(self, params: PhysicsParams):
         self.states, diag = _step_frame(
@@ -246,6 +269,15 @@ class BatchedBody:
     def positions(self) -> np.ndarray:
         """[num_bodies, N, 3]."""
         return np.asarray(self.states.pos).reshape(self.num_bodies, self._n, 3)
+
+    def surface_mesh(self, normals: str = "smooth"):
+        """Skinned surfaces of ALL bodies in the batch, concatenated:
+        (verts [B*S,3], normals [B*S,3], tris [B*T,3] — indices already
+        offset per body by replicate_mesh)."""
+        if self._surface is None:
+            raise ValueError("mesh has no embedded render surface")
+        quats = self.states.quats if self.engine == "polar" else None
+        return self._surface.mesh_data(self.states.pos, quats, normals)
 
     # -- per-body interaction ------------------------------------------------
     def _check_body(self, body: int):
