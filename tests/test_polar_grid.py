@@ -109,3 +109,80 @@ def test_volume_stability(grid_setup):
     vol = np.linalg.det(d) / 6.0
     rest = np.float64(garr.rest_volume) * mesh.num_tets
     assert abs(vol.sum() - rest) / rest < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Sharded slab decomposition (halo exchange over the virtual device mesh)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sharded_setup():
+    from jax.sharding import Mesh
+    from tetsim_tpu.solvers import polar_grid as pg
+
+    dims = (8, 3, 5)  # nx divides the 8 virtual devices
+    mesh = ts.grid_mesh(*dims, cell=0.2, origin=(-0.8, 0.5, -0.5))
+    garr = pg.build_grid_arrays(mesh, dims)
+    devmesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+    return mesh, garr, devmesh
+
+
+def test_sharded_matches_unsharded(sharded_setup):
+    from tetsim_tpu.solvers import polar_grid as pg
+
+    mesh, garr, devmesh = sharded_setup
+    params = ts.PhysicsParams(num_substeps=4)
+    controls = ts.Controls.none()
+    state0 = ts.init_state(mesh)
+    slab, sarr = pg.grid_prepare(state0, garr, devmesh)
+    step_sh = pg.make_grid_sharded_step(devmesh, garr)
+    step_un = jax.jit(get_engine("polar_grid").step_frame)
+    s_un = state0
+    for _ in range(10):
+        slab, _ = step_sh(slab, sarr, params, controls)
+        s_un, _ = step_un(s_un, garr, params, controls)
+    s_sh = pg.grid_unprepare(slab, garr, 8)
+    np.testing.assert_allclose(s_sh.pos, s_un.pos, atol=2e-5)
+    np.testing.assert_allclose(s_sh.quats, s_un.quats, atol=2e-5)
+    np.testing.assert_allclose(s_sh.prev_pos, s_un.prev_pos, atol=2e-5)
+
+
+def test_sharded_grab(sharded_setup):
+    from tetsim_tpu.solvers import polar_grid as pg
+
+    mesh, garr, devmesh = sharded_setup
+    params = ts.PhysicsParams(num_substeps=4)
+    gid = int(np.argmax(mesh.verts[:, 1]))
+    target = [0.1, 1.0, 0.2]
+    ctl = ts.Controls(
+        grab_id=jnp.int32(gid), grab_pos=jnp.asarray(target, jnp.float32)
+    )
+    slab, sarr = pg.grid_prepare(ts.init_state(mesh), garr, devmesh)
+    step_sh = pg.make_grid_sharded_step(devmesh, garr)
+    for _ in range(5):
+        slab, _ = step_sh(slab, sarr, params, ctl)
+    s = pg.grid_unprepare(slab, garr, 8)
+    np.testing.assert_allclose(np.asarray(s.pos)[gid], target, atol=1e-6)
+
+
+def test_slab_round_trip(sharded_setup):
+    from tetsim_tpu.solvers import polar_grid as pg
+
+    mesh, garr, devmesh = sharded_setup
+    state = ts.init_state(mesh)
+    slab, _ = pg.grid_prepare(state, garr, devmesh)
+    back = pg.grid_unprepare(slab, garr, 8)
+    np.testing.assert_array_equal(back.pos, state.pos)
+    np.testing.assert_array_equal(back.quats, state.quats)
+
+
+def test_uneven_shard_rejected(sharded_setup):
+    from tetsim_tpu.solvers import polar_grid as pg
+
+    dims = (5, 3, 5)
+    mesh5 = ts.grid_mesh(*dims, cell=0.2)
+    garr5 = pg.build_grid_arrays(mesh5, dims)
+    _, _, devmesh = sharded_setup
+    with pytest.raises(ValueError, match="divide evenly"):
+        pg.make_grid_sharded_step(devmesh, garr5)
