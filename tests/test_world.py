@@ -158,3 +158,58 @@ def test_pinned_particles(engine):
     assert pos[others, 1].min() < rest[others, 1].min() - 1e-3
     assert pos[others, 1].min() > 0.2  # hanging, not dropped to the floor
     assert np.isfinite(pos).all()
+
+
+def test_checkpoint_validation(small_mesh, tmp_path):
+    """Hardened load: structure/shape/mesh/engine mismatches raise clearly
+    instead of positionally unflattening (VERDICT r1 #8)."""
+    import pytest
+
+    body = ts.World(ts.PhysicsParams(num_substeps=2)).add_body(
+        small_mesh, engine="polar"
+    )
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save(path, body.state, mesh=small_mesh, engine="polar")
+
+    # same mesh + engine loads fine
+    out = checkpoint.load(path, like=body.state, mesh=small_mesh, engine="polar")
+    np.testing.assert_array_equal(out.pos, body.state.pos)
+
+    # wrong engine
+    with pytest.raises(ValueError, match="engine"):
+        checkpoint.load(path, mesh=small_mesh, engine="neohookean")
+
+    # wrong mesh (different grid)
+    other = ts.grid_mesh(4, 4, 4, cell=0.2)
+    with pytest.raises(ValueError, match="does not match this mesh"):
+        checkpoint.load(path, mesh=other, engine="polar")
+
+    # wrong target structure: leaf shapes differ
+    other_state = ts.init_state(other)
+    with pytest.raises(ValueError, match="shapes"):
+        checkpoint.load(path, like=other_state)
+
+    # wrong treedef (different pytree type)
+    with pytest.raises(ValueError, match="structure|shapes"):
+        checkpoint.load(path, like={"a": np.zeros(3)})
+
+
+def test_dense_backend_world_path(small_mesh):
+    """DenseBody is reachable from World.add_body_batch (VERDICT r1 #7)."""
+    world = ts.World(ts.PhysicsParams(num_substeps=2))
+    batch = world.add_body_batch(
+        small_mesh, 3, engine="neohookean", backend="dense", jitter=0.05
+    )
+    world.step(3)
+    pos = batch.positions()
+    assert pos.shape == (3, small_mesh.num_particles, 3)
+    assert np.isfinite(pos).all()
+    d = world.diagnostics()
+    assert d["body0"]["batch"] == 3 and not d["body0"]["nan"]
+    # per-body grab surface
+    pid = batch.start_grab(1, pos[1].mean(axis=0))
+    assert 0 <= pid < small_mesh.num_particles
+    batch.move_grabbed(1, pos[1].mean(axis=0) + [0, 0.2, 0])
+    world.step(2)
+    batch.end_grab(1)
+    assert int(np.asarray(batch.grab_id)[1]) == -1

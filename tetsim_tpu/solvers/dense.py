@@ -17,6 +17,12 @@ back to serial scatter).
 All dots use precision=HIGHEST so f32 positions survive the MXU's bf16
 passes.  Memory: the one-hot slab is f32 [L, N, 4C] — 162 MB for the
 dragon, gated by build_dense_arrays(max_bytes=...).
+
+Reachable via ``World.add_body_batch(..., backend="dense")`` (DenseBody
+wrapper in world.py).  Status: correct (parity tests in
+tests/test_dense.py) but the fused VMEM kernel (backend="fused") is the
+faster batch path on meshes that fit VMEM; prefer dense only for batch
+sizes/meshes past the fused kernel's VMEM gate.
 """
 from __future__ import annotations
 

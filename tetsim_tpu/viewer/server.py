@@ -94,14 +94,16 @@ class _View:
             self._state0 = body.states
         else:
             from ..kernels.gs_fused import FusedGSBody
+            from ..world import DenseBody
 
-            if not isinstance(body, FusedGSBody):
+            if not isinstance(body, (FusedGSBody, DenseBody)):
                 raise ValueError(
                     f"viewer cannot render body of type {type(body).__name__}"
                 )
             from ..mesh import replicate_mesh
 
-            self.kind = "fused"
+            self.kind = "packed"  # column/sublane-batched: FusedGS or Dense
+            self._n_per = body.mesh.num_particles
             flat = replicate_mesh(body.mesh, body.num_bodies)
             self.n_particles = flat.num_particles
             self.surface = (
@@ -151,7 +153,7 @@ class _View:
                 ),
             )
         else:
-            n = self.body.sched.num_particles
+            n = self._n_per
             sub = pid // n
             self._grab_sub = sub
             self.body.set_grab(sub, pid % n, point)
@@ -177,11 +179,11 @@ class _View:
             g = np.asarray(self.body.controls.grab_id)
             active = g[g >= 0]
             return int(active[0]) if active.size else -1
-        g = np.asarray(self.body.grab_id[: self.body.num_bodies, 0])
+        g = np.asarray(self.body.grab_id).reshape(-1)[: self.body.num_bodies]
         sub = np.nonzero(g >= 0)[0]
         if not sub.size:
             return -1
-        return int(sub[0]) * self.body.sched.num_particles + int(g[sub[0]])
+        return int(sub[0]) * self._n_per + int(g[sub[0]])
 
     def reset(self):
         if self.kind == "body":

@@ -316,6 +316,86 @@ class BatchedBody:
         )
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _dense_step(state, arrays, params, grab_id, grab_pos):
+    from .solvers import dense
+
+    return dense.step_frame(state, arrays, params, grab_id, grab_pos)
+
+
+class DenseBody:
+    """N bodies stepped by the dense MXU engine (solvers/dense.py):
+    gather/scatter as one-hot matmuls, bodies batched in COLUMNS so one
+    [N,4C] x [4C,3B] matmul serves the whole batch per level.
+
+    Interaction surface matches FusedGSBody (per-body grabs)."""
+
+    def __init__(
+        self,
+        mesh: TetMesh,
+        num_bodies: int,
+        density: float = 1000.0,
+        coloring: str = "greedy",
+        jitter: float = 0.0,
+        seed: int = 0,
+    ):
+        from .solvers import dense
+
+        self.mesh = mesh
+        self.engine = "dense"
+        self.num_bodies = num_bodies
+        self.arrays = dense.build_dense_arrays(mesh, density, coloring)
+        self.state = dense.init_dense_state(mesh, num_bodies, jitter, seed)
+        self.grab_id = jnp.full((num_bodies,), -1, jnp.int32)
+        self.grab_pos = jnp.zeros((3, num_bodies), jnp.float32)
+        self.last_diag = None
+
+    def step(self, params: PhysicsParams):
+        self.state = _dense_step(
+            self.state, self.arrays, params, self.grab_id, self.grab_pos
+        )
+        return None
+
+    # -- views (FusedGSBody-compatible) -----------------------------------
+    def positions(self) -> np.ndarray:
+        """[num_bodies, N, 3]."""
+        return np.moveaxis(np.asarray(self.state.pos), -1, 0)
+
+    def velocities(self) -> np.ndarray:
+        return np.moveaxis(np.asarray(self.state.vel), -1, 0)
+
+    # -- per-body interaction ----------------------------------------------
+    def _check_body(self, body: int):
+        if not 0 <= body < self.num_bodies:
+            raise IndexError(
+                f"body index {body} out of range (batch has {self.num_bodies})"
+            )
+
+    def set_grab(self, body: int, particle: int, point):
+        self._check_body(body)
+        self.grab_id = self.grab_id.at[body].set(particle)
+        self.grab_pos = self.grab_pos.at[:, body].set(
+            jnp.asarray(point, jnp.float32)
+        )
+
+    def start_grab(self, body: int, point) -> int:
+        self._check_body(body)
+        pos = self.positions()[body]
+        pid = int(np.argmin(np.sum((pos - np.asarray(point)) ** 2, axis=-1)))
+        self.set_grab(body, pid, point)
+        return pid
+
+    def move_grabbed(self, body: int, point):
+        self._check_body(body)
+        self.grab_pos = self.grab_pos.at[:, body].set(
+            jnp.asarray(point, jnp.float32)
+        )
+
+    def end_grab(self, body: int):
+        self._check_body(body)
+        self.grab_id = self.grab_id.at[body].set(-1)
+
+
 class World:
     """Scene container + frame loop (main.js:51,74-96 analogue)."""
 
@@ -353,6 +433,9 @@ class World:
                           bodies batched in sublanes, VMEM-gated size;
                           fastest measured path: 10.5k substeps/s/body on
                           the dragon).
+        backend="dense" — the MXU one-hot engine (neohookean only; bodies
+                          batched in matmul columns; experimental — see
+                          solvers/dense.py header for precision caveats).
         """
         d = float(self.params.density) if density is None else density
         if backend == "fused":
@@ -361,6 +444,10 @@ class World:
             from .kernels import FusedGSBody
 
             batch = FusedGSBody(mesh, num_bodies, density=d, jitter=jitter, seed=seed)
+        elif backend == "dense":
+            if engine != "neohookean":
+                raise ValueError("the dense backend implements the neohookean engine")
+            batch = DenseBody(mesh, num_bodies, density=d, jitter=jitter, seed=seed)
         elif backend == "flat":
             batch = BatchedBody(
                 mesh, num_bodies, engine=engine, density=d, jitter=jitter, seed=seed
@@ -384,7 +471,7 @@ class World:
 
         out = {}
         for i, b in enumerate(self.bodies):
-            if isinstance(b, FusedGSBody):
+            if isinstance(b, (FusedGSBody, DenseBody)):
                 pos = b.positions()
                 vel = b.velocities()
                 out[f"body{i}"] = {
