@@ -51,15 +51,23 @@ def _timed(run, state, reps):
     return (time.perf_counter() - t0) / reps, chk
 
 
+FUSED_BODIES = 8  # kernel batch: all 8 bodies step in the same frame
+
+
 def _bench_fused(mesh, params):
     """Fused VMEM Pallas kernel (the fast path; numerics verified against
-    the classic engine to ~1e-5 over 10 frames on hardware)."""
+    the classic engine on hardware — tests_tpu/test_hardware.py).
+
+    Measures FRAME LATENCY of an 8-body batch: the headline substeps/s is
+    the single-body real-time rate (all 8 bodies advance in that same
+    frame, so per-body latency == batch latency); the aggregate
+    body-substeps/s is reported separately in the JSON."""
     import numpy as np
     import time
 
     from tetsim_tpu.kernels import FusedGSBody
 
-    body = FusedGSBody(mesh, num_bodies=8, interpret=False)
+    body = FusedGSBody(mesh, num_bodies=FUSED_BODIES, interpret=False)
     k1, k2 = 100, 1100  # wide spread: per-frame ~0.5 ms vs ~35 ms round trip
 
     def timed(K, reps=3):
@@ -119,17 +127,21 @@ def main():
         path = "classic"
 
     substeps_per_sec = params.num_substeps / per_frame
-    print(
-        json.dumps(
-            {
-                "metric": "dragon_substeps_per_sec",
-                "value": round(substeps_per_sec, 1),
-                "unit": "substeps/s",
-                "vs_baseline": round(substeps_per_sec / BASELINE_SUBSTEPS_PER_SEC, 2),
-                "path": path,
-            }
+    out = {
+        "metric": "dragon_substeps_per_sec",
+        "value": round(substeps_per_sec, 1),
+        "unit": "substeps/s",
+        "vs_baseline": round(substeps_per_sec / BASELINE_SUBSTEPS_PER_SEC, 2),
+        "path": path,
+    }
+    if path == "fused":
+        # disambiguate (VERDICT r1): value = single-body frame latency rate
+        # (the batch steps together); aggregate throughput reported apart
+        out["bodies_per_kernel"] = FUSED_BODIES
+        out["aggregate_body_substeps_per_sec"] = round(
+            substeps_per_sec * FUSED_BODIES, 1
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -69,3 +69,25 @@ def test_fused_floor_and_bounds(small):
     assert np.isfinite(pos).all()
     assert pos[..., 1].min() >= -1e-5
     assert (np.abs(pos[..., [0, 2]]) <= 2.5 + 1e-5).all()
+
+
+def test_multi_block_body_grid(small):
+    """Batch larger than one VMEM block: the kernel grids over body blocks
+    (round-2 lift of the <=32-body VMEM gate).  All blocks must produce the
+    single-body trajectory, and a grab in a later block stays local."""
+    params = ts.PhysicsParams(num_substeps=2)
+    ref_pos, _ = _xla_run(small, params, frames=2)
+
+    body = FusedGSBody(small, num_bodies=40, interpret=True)
+    assert body.B // body.B_blk >= 2, (
+        f"test needs multiple blocks (B={body.B}, blk={body.B_blk})"
+    )
+    # grab body 35's particle 0 (a later block) before stepping
+    target = np.asarray(ref_pos[0]) + [0.0, 0.4, 0.0]
+    body.set_grab(35, 0, target)
+    body.step(params, frames=2)
+    pos = body.positions()
+    for b in (0, 7, 8, 20, 39):  # spans block boundaries
+        np.testing.assert_allclose(pos[b], ref_pos, atol=1e-5)
+    np.testing.assert_allclose(pos[35][0], target, atol=1e-6)
+    assert np.abs(pos[35][0] - ref_pos[0]).max() > 0.05  # grab actually held

@@ -295,23 +295,35 @@ class FusedGSBody:
                 "schedules (coloring='greedy', typically <64 levels) — use "
                 "the XLA neohookean engine for ordered/long schedules"
             )
-        # everything must fit VMEM (16 MB scoped limit): state + index
-        # tables + constants + ~14 live [B,R] temporaries (measured: 19.7 MB
-        # stack at B=64 on the dragon)
+        # VMEM sizing (16 MB scoped limit).  Bodies are processed in BLOCKS
+        # of B_blk sublanes: only one block's state + the shared tables must
+        # fit VMEM; the batch streams HBM->VMEM block by block via the
+        # Pallas grid pipeline (double-buffered automatically), so the
+        # total body count is unbounded (lifts the round-1 <=32-body gate).
         s0 = self.sched
+        tables = 4 * (2 * s0.L * 8 * s0.R + s0.L * 14 * s0.C)
+
+        def est(b):
+            # 60 live f32/lane measured at B=64 (round 1), plus the second
+            # pipeline buffers of the blocked state windows (in + out)
+            return tables + 4 * b * s0.R * (60 + 2 * 9)
+
         b_pad = (num_bodies + 7) // 8 * 8
-        est = 4 * (
-            2 * s0.L * 8 * s0.R          # ids/inv (i32)
-            + s0.L * 14 * s0.C           # irp+irv+imc
-            + 60 * b_pad * s0.R          # state + live temps (calibrated:
-        )                                # 19.7 MB stack at B=64 on dragon)
-        if est > 15_500_000:
+        feasible = [blk for blk in (8, 16, 32) if est(blk) <= 15_500_000]
+        if not feasible:
             raise ValueError(
-                f"fused kernel VMEM estimate {est/1e6:.1f} MB exceeds the "
-                f"16 MB budget (B={b_pad}, R={s0.R}, L={s0.L}); reduce "
-                "num_bodies (dragon fits up to ~32) or use the XLA engines"
+                f"fused kernel VMEM estimate {est(8)/1e6:.1f} MB exceeds the "
+                f"16 MB budget even at an 8-body block (R={s0.R}, "
+                f"L={s0.L}) — the mesh is too large for the VMEM-resident "
+                "kernel; use the XLA engines or polar_grid"
             )
-        self.B = (num_bodies + 7) // 8 * 8
+        # least padded total, tie-break the larger block
+        self.B_blk = min(
+            (min(blk, b_pad) for blk in feasible),
+            key=lambda blk: ((b_pad + blk - 1) // blk * blk, -blk),
+        )
+        # pad the batch to a whole number of blocks
+        self.B = (num_bodies + self.B_blk - 1) // self.B_blk * self.B_blk
         self.num_bodies = num_bodies
         self.interpret = interpret
         s = self.sched
@@ -362,24 +374,43 @@ class FusedGSBody:
     )
     def _step(self, state, par, gid, gpos, num_substeps, interpret):
         s = self.sched
+        b = self.B_blk
         kernel = _make_kernel(
-            num_substeps, s.L, s.C, s.R, self.B, s.gather_tiles, s.scatter_tiles
+            num_substeps, s.L, s.C, s.R, b, s.gather_tiles, s.scatter_tiles
         )
+        # Grid over body blocks: each grid step runs the WHOLE frame for one
+        # block of b bodies while the Pallas pipeline streams the next
+        # block's state HBM->VMEM — the batch size is no longer VMEM-gated
+        # (round-1 cap was 32 dragons total; now 32 per block, any blocks).
+        # Index tables / tet constants use a constant index map, so their
+        # VMEM buffers are fetched once and revalidated, not re-DMAed.
+        n_blk = self.B // b
+
+        def stat(*shape):
+            return pl.BlockSpec(
+                shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+            )
+
         return pl.pallas_call(
             kernel,
+            grid=(n_blk,),
             out_shape=jax.ShapeDtypeStruct((9, self.B, s.R), jnp.float32),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (9, b, s.R), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                ),
+                stat(s.L, 8, s.R),
+                stat(s.L, 8, s.R),
+                stat(s.L, 9, s.C),
+                stat(s.L, s.C),
+                stat(s.L, 4, s.C),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(
+                (9, b, s.R), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
             input_output_aliases={3: 0},  # state buffer reused as output
             interpret=interpret,
         )(par, gid, gpos, state, self._ids, self._inv, self._irp, self._irv, self._imc)
