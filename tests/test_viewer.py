@@ -11,7 +11,7 @@ from tetsim_tpu.viewer import ViewerServer
 
 
 def _get(port, path):
-    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=10) as r:
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=120) as r:
         return r.read()
 
 
@@ -19,7 +19,7 @@ def _post(port, path, obj):
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}{path}", data=json.dumps(obj).encode(), method="POST"
     )
-    with urllib.request.urlopen(req, timeout=10) as r:
+    with urllib.request.urlopen(req, timeout=120) as r:
         return json.loads(r.read())
 
 
@@ -114,7 +114,7 @@ def test_bad_json(server):
         f"http://127.0.0.1:{server.port}/grab", data=b"{not json", method="POST"
     )
     with pytest.raises(urllib.error.HTTPError) as e:
-        urllib.request.urlopen(req, timeout=10)
+        urllib.request.urlopen(req, timeout=120)
     assert e.value.code == 400
 
 

@@ -362,9 +362,19 @@ def build_incidence(tets: np.ndarray, rest_volume: np.ndarray, num_particles: in
 # ---------------------------------------------------------------------------
 
 
-def grid_mesh(nx: int, ny: int, nz: int, cell: float = 0.1, origin=(0.0, 0.0, 0.0)) -> TetMesh:
+def grid_mesh(
+    nx: int,
+    ny: int,
+    nz: int,
+    cell: float = 0.1,
+    origin=(0.0, 0.0, 0.0),
+    with_edges: bool = False,
+) -> TetMesh:
     """Axis-aligned block of nx*ny*nz cubes, each Kuhn-split into 6 tets
-    (conforming across cube faces).  nx=ny=nz=56 gives ~1.05M tets."""
+    (conforming across cube faces).  nx=ny=nz=56 gives ~1.05M tets.
+
+    ``with_edges`` derives the unique-edge wireframe (off by default: a
+    1M-tet mesh has ~7M unique edges and the big configs never render)."""
     gx, gy, gz = nx + 1, ny + 1, nz + 1
     xs = origin[0] + np.arange(gx) * cell
     ys = origin[1] + np.arange(gy) * cell
@@ -397,7 +407,16 @@ def grid_mesh(nx: int, ny: int, nz: int, cell: float = 0.1, origin=(0.0, 0.0, 0.
     d = np.stack([p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], p[:, 3] - p[:, 0]], axis=-1)
     neg = np.linalg.det(d) < 0
     tets[neg] = tets[neg][:, [0, 2, 1, 3]]
-    return TetMesh(verts=verts, tets=tets)
+    edges = None
+    if with_edges:
+        pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+        edges = np.unique(
+            np.sort(
+                np.concatenate([tets[:, list(c)] for c in pairs], axis=0), axis=1
+            ),
+            axis=0,
+        ).astype(np.int32)
+    return TetMesh(verts=verts, tets=tets, edges=edges)
 
 
 def replicate_mesh(

@@ -249,25 +249,55 @@ def _extract_rotation(a, iters=_EXTRACT_ITERS):
 # ---------------------------------------------------------------------------
 
 
-def _solve(px, py, pz, quats, g: GridArrays, halo=None):
-    """One Jacobi shape-matching iteration on grid-component state.
+def _flat_geometry(g: GridArrays):
+    """(nx, gyz, Lc, Nv, pad_len, offsets[8]) of the FLAT formulation.
 
-    px/py/pz: [gx,gy,gz].  quats: [6][4] of [C].  Returns updated fields.
-    ``halo``: optional callback (numx,numy,numz) -> exchanged versions, used
-    by the sharded path to complete partial boundary-plane sums.
+    Layout note (the round-2 speedup, 2.99 -> see BENCHNOTES): the 3-D
+    slab form made every shifted read a strided [nx,ny,nz] slice whose
+    (57,57) minor dims pad to the (64,128) TPU tile — 2.5x wasted
+    bandwidth and a materialized copy per corner.  Flattened C-order with
+    one extra x-plane of padding, a shift by (dx,dy,dz) is a CONTIGUOUS
+    slice at offset dx*gy*gz + dy*gz + dz that XLA fuses into consumers
+    without materializing.  Cube-space arrays span [nx, gy, gz] (phantom
+    lanes at j==ny or k==nz), masked once per accumulator slab.
     """
     nx, ny, nz = g.dims
+    gy, gz = ny + 1, nz + 1
+    gyz = gy * gz
+    lc = nx * gyz  # cube lanes incl. phantoms
+    nv = (nx + 1) * gyz  # vertices
+    offs = tuple(dx * gyz + dy * gz + dz for (dx, dy, dz) in g.slab_offsets)
+    return nx, gy, gz, gyz, lc, nv, offs
 
-    def slab(P, off):
-        dx, dy, dz = off
-        return P[dx : dx + nx, dy : dy + ny, dz : dz + nz].reshape(-1)
 
-    # the 8 shifted corner views, read once and shared by all 6 tet types
-    sx = [slab(px, o) for o in g.slab_offsets]
-    sy = [slab(py, o) for o in g.slab_offsets]
-    sz = [slab(pz, o) for o in g.slab_offsets]
+def _cube_valid_mask(g: GridArrays):
+    """f32 [Lc] mask: 1 on real cubes, 0 on phantom (j==ny or k==nz) lanes."""
+    nx, gy, gz, gyz, lc, _, _ = _flat_geometry(g)
+    ny, nz = g.dims[1], g.dims[2]
+    r = jax.lax.broadcasted_iota(jnp.int32, (lc, 1), 0).reshape(lc) % gyz
+    j = r // gz
+    k = r % gz
+    return jnp.where((j < ny) & (k < nz), 1.0, 0.0).astype(jnp.float32)
 
-    zero = jnp.zeros_like(sx[0])
+
+def _solve(fx, fy, fz, quats, g: GridArrays, halo=None):
+    """One Jacobi shape-matching iteration on flat padded component state.
+
+    fx/fy/fz: [Nv + gyz] (one phantom x-plane of tail padding).
+    quats: [6][4] of [Lc] (cube lanes incl. phantoms).
+    ``halo``: optional callback (numx,numy,numz) -> exchanged versions
+    (flat, same padded length), used by the sharded path to complete
+    partial boundary-plane sums.
+    """
+    nx, gy, gz, gyz, lc, nv, offs = _flat_geometry(g)
+    mask = _cube_valid_mask(g)
+
+    # the 8 shifted corner views: contiguous slices, no copies after fusion
+    sx = [fx[o : o + lc] for o in offs]
+    sy = [fy[o : o + lc] for o in offs]
+    sz = [fz[o : o + lc] for o in offs]
+
+    zero = jnp.zeros((lc,), fx.dtype)
     accx = [zero] * 8
     accy = [zero] * 8
     accz = [zero] * 8
@@ -298,7 +328,12 @@ def _solve(px, py, pz, quats, g: GridArrays, halo=None):
         ]
         ix, iy, iz, iw = _extract_rotation(a)
         qx, qy, qz, qw = _qmul(ix, iy, iz, iw, qx, qy, qz, qw)
-        norm = jnp.sqrt(qx * qx + qy * qy + qz * qz + qw * qw)
+        # the max() only bites on zero-padded PHANTOM lanes (0/0 would be
+        # NaN, and NaN*mask stays NaN); real lanes have norm ~1, so this is
+        # bitwise identical to polar.quat_normalize there
+        norm = jnp.maximum(
+            jnp.sqrt(qx * qx + qy * qy + qz * qz + qw * qw), 1e-30
+        )
         qx, qy, qz, qw = qx / norm, qy / norm, qz / norm, qw / norm
         new_quats.append((qx, qy, qz, qw))
 
@@ -309,13 +344,12 @@ def _solve(px, py, pz, quats, g: GridArrays, halo=None):
             accy[s] = accy[s] + (gy_ - pcy[k]) * w
             accz[s] = accz[s] + (gz_ - pcz[k]) * w
 
-    # combine the 8 accumulator slabs into the vertex grid (inverse stencil)
+    # combine the 8 accumulator slabs (inverse stencil): phantom lanes are
+    # masked out, then each slab lands at its flat offset — contiguous adds
     def combine(acc):
-        out = jnp.zeros_like(px)
-        for s, (dx, dy, dz) in enumerate(g.slab_offsets):
-            out = out.at[dx : dx + nx, dy : dy + ny, dz : dz + nz].add(
-                acc[s].reshape(nx, ny, nz)
-            )
+        out = jnp.zeros_like(fx)
+        for s, o in enumerate(offs):
+            out = out.at[o : o + lc].add(acc[s] * mask)
         return out
 
     numx, numy, numz = combine(accx), combine(accy), combine(accz)
@@ -323,10 +357,10 @@ def _solve(px, py, pz, quats, g: GridArrays, halo=None):
         numx, numy, numz = halo(numx, numy, numz)
     d = jnp.maximum(g.den, _EPS)
     movable = g.inv_mass > 0.0
-    px = jnp.where(movable, px + numx / d, px)
-    py = jnp.where(movable, py + numy / d, py)
-    pz = jnp.where(movable, pz + numz / d, pz)
-    return px, py, pz, new_quats
+    fx = jnp.where(movable, fx + numx / d, fx)
+    fy = jnp.where(movable, fy + numy / d, fy)
+    fz = jnp.where(movable, fz + numz / d, fz)
+    return fx, fy, fz, new_quats
 
 
 def _substep(
@@ -362,19 +396,17 @@ def _substep(
     pz = pz + jnp.where(below, (ppz - pz) * k, 0.0)
 
     # grab override (common.apply_grab, scalar grab id).  x_offset shifts
-    # local plane indices to GLOBAL particle ids on the sharded path.
+    # local FLAT indices to GLOBAL particle ids on the sharded path.
     gid = controls.grab_id
     if gid.ndim != 0:
         raise NotImplementedError(
             "polar_grid supports the scalar grab_id form; use the generic "
             "polar engine for flattened multi-body vector grabs"
         )
-    shape = px.shape
-    gyz = shape[1] * shape[2]
-    i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-    pid = (i + x_offset) * gyz + j * shape[2] + kk
+    n = px.shape[0]
+    pid = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n) + x_offset
+    )
     hit = pid == gid
     px = jnp.where(hit, controls.grab_pos[0], px)
     py = jnp.where(hit, controls.grab_pos[1], py)
@@ -386,50 +418,66 @@ def _substep(
 
 
 # ---------------------------------------------------------------------------
-# SimState <-> component conversion (once per frame)
+# SimState <-> flat component conversion (once per frame)
 # ---------------------------------------------------------------------------
+
+
+def _pad_tail(flat, pad):
+    return jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+
+
+def _flat_arrays(g: GridArrays) -> GridArrays:
+    """GridArrays with inv_mass/den flattened + tail-padded for _solve."""
+    _, _, _, gyz, _, nv, _ = _flat_geometry(g)
+    return g.replace(
+        inv_mass=_pad_tail(g.inv_mass.reshape(nv), gyz),
+        den=_pad_tail(jnp.maximum(g.den, _EPS).reshape(nv), gyz),
+    )
 
 
 def _to_components(state: SimState, g: GridArrays):
     nx, ny, nz = g.dims
-    gx, gy, gz = nx + 1, ny + 1, nz + 1
-    ncubes = nx * ny * nz
+    _, gy, gz, gyz, lc, nv, _ = _flat_geometry(g)
 
-    def grid3(flat):
-        return (
-            flat[:, 0].reshape(gx, gy, gz),
-            flat[:, 1].reshape(gx, gy, gz),
-            flat[:, 2].reshape(gx, gy, gz),
-        )
+    def flat3(a):
+        return tuple(_pad_tail(a[:, c], gyz) for c in range(3))
 
-    px, py, pz = grid3(state.pos)
-    vx, vy, vz = grid3(state.vel)
-    q = state.quats.reshape(6, ncubes, 4)
+    px, py, pz = flat3(state.pos)
+    vx, vy, vz = flat3(state.vel)
+    # quats: [M,4] type-major -> phantom-padded cube lanes [6][4] of [Lc]
+    q = state.quats.reshape(6, nx, ny, nz, 4)
+    q = jnp.pad(q, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
+    q = q.reshape(6, lc, 4)
     quats = [tuple(q[t, :, c] for c in range(4)) for t in range(6)]
     return (px, py, pz, vx, vy, vz, quats)
 
 
 def _from_components(carry, state: SimState, g: GridArrays, prev) -> SimState:
     px, py, pz, vx, vy, vz, quats = carry
-    n = g.num_particles
-    pos = jnp.stack([px.reshape(n), py.reshape(n), pz.reshape(n)], axis=-1)
-    vel = jnp.stack([vx.reshape(n), vy.reshape(n), vz.reshape(n)], axis=-1)
-    ppx, ppy, ppz = prev
-    prev_pos = jnp.stack(
-        [ppx.reshape(n), ppy.reshape(n), ppz.reshape(n)], axis=-1
-    )
+    nx, ny, nz = g.dims
+    _, gy, gz, _, _, nv, _ = _flat_geometry(g)
+
+    def stack3(x, y, z):
+        return jnp.stack([x[:nv], y[:nv], z[:nv]], axis=-1)
+
     q = jnp.stack(
         [jnp.stack(quats[t], axis=-1) for t in range(6)], axis=0
-    ).reshape(-1, 4)
-    return state.replace(pos=pos, prev_pos=prev_pos, vel=vel, quats=q)
+    ).reshape(6, nx, gy, gz, 4)[:, :, :ny, :nz, :].reshape(-1, 4)
+    return state.replace(
+        pos=stack3(px, py, pz),
+        prev_pos=stack3(*prev),
+        vel=stack3(vx, vy, vz),
+        quats=q,
+    )
 
 
 def substep(state, arr: GridArrays, params, dt, controls, axis_name=None):
     """Single-substep entry matching the engine API (used by tests)."""
     del axis_name
+    g = _flat_arrays(arr)
     carry = _to_components(state, arr)
     prev = carry[:3]
-    carry, diag = _substep(carry, arr, params, dt, controls)
+    carry, diag = _substep(carry, g, params, dt, controls)
     return _from_components(carry, state, arr, prev), diag
 
 
@@ -443,12 +491,13 @@ def step_frame(
     """One frame = params.num_substeps stencil substeps in a single trace."""
     del axis_name  # sharding of the grid engine uses spatial halos, not psum
     dt = params.dt
+    g = _flat_arrays(arr)
     carry0 = _to_components(state, arr)
 
     def body(carry_prev, _):
         carry, _ = carry_prev
         prev = carry[:3]
-        carry, diag = _substep(carry, arr, params, dt, controls)
+        carry, diag = _substep(carry, g, params, dt, controls)
         return (carry, prev), diag
 
     (carry, prev), diags = jax.lax.scan(
@@ -590,15 +639,23 @@ def make_grid_sharded_step(mesh, garr: GridArrays, axis: str = "x"):
     lx = nx // d
     local_dims = (lx, ny, nz)
 
+    gy, gz = ny + 1, nz + 1
+    gyz = gy * gz
+    nv_loc = (lx + 1) * gyz  # local vertex lanes (before tail padding)
+
     def halo(nux, nuy, nuz):
+        # flat num [nv_loc + gyz]: plane p occupies [p*gyz, (p+1)*gyz)
         def ex(num):
             fr = jax.lax.ppermute(
-                num[0:1], axis, [(i, i - 1) for i in range(1, d)]
+                num[0:gyz], axis, [(i, i - 1) for i in range(1, d)]
             )
             fl = jax.lax.ppermute(
-                num[-1:], axis, [(i, i + 1) for i in range(d - 1)]
+                num[lx * gyz : nv_loc], axis,
+                [(i, i + 1) for i in range(d - 1)],
             )
-            return num.at[-1:].add(fr).at[0:1].add(fl)
+            return (
+                num.at[lx * gyz : nv_loc].add(fr).at[0:gyz].add(fl)
+            )
 
         return ex(nux), ex(nuy), ex(nuz)
 
@@ -609,15 +666,23 @@ def make_grid_sharded_step(mesh, garr: GridArrays, axis: str = "x"):
             slab_offsets=garr.slab_offsets,
             rest_centered=garr.rest_centered,
             rest_volume=garr.rest_volume,
-            inv_mass=arr.inv_mass,
-            den=arr.den,
+            inv_mass=_pad_tail(arr.inv_mass.reshape(nv_loc), gyz),
+            den=_pad_tail(
+                jnp.maximum(arr.den, _EPS).reshape(nv_loc), gyz
+            ),
         )
-        x_offset = jax.lax.axis_index(axis).astype(jnp.int32) * lx
+        x_offset = jax.lax.axis_index(axis).astype(jnp.int32) * (lx * gyz)
+        # quats slab [24, lx, ny, nz] -> phantom-padded flat [6][4] of [Lc]
+        qs = jnp.pad(slab.quats, ((0, 0), (0, 0), (0, 1), (0, 1)))
         quats = [
-            tuple(slab.quats[t * 4 + c].reshape(-1) for c in range(4))
+            tuple(qs[t * 4 + c].reshape(-1) for c in range(4))
             for t in range(6)
         ]
-        carry0 = (slab.px, slab.py, slab.pz, slab.vx, slab.vy, slab.vz, quats)
+        flat = lambda a: _pad_tail(a.reshape(nv_loc), gyz)
+        carry0 = (
+            flat(slab.px), flat(slab.py), flat(slab.pz),
+            flat(slab.vx), flat(slab.vy), flat(slab.vz), quats,
+        )
         dt = params.dt
 
         def body(carry_prev, _):
@@ -634,12 +699,18 @@ def make_grid_sharded_step(mesh, garr: GridArrays, axis: str = "x"):
         )
         px, py, pz, vx, vy, vz, quats = carry
         q = jnp.stack(
-            [quats[t][c].reshape(lx, ny, nz) for t in range(6) for c in range(4)],
+            [
+                quats[t][c].reshape(lx, gy, gz)[:, :ny, :nz]
+                for t in range(6)
+                for c in range(4)
+            ],
             axis=0,
         )
+        cube = lambda a: a[:nv_loc].reshape(lx + 1, gy, gz)
         out = GridSlabState(
-            px=px, py=py, pz=pz, ppx=prev[0], ppy=prev[1], ppz=prev[2],
-            vx=vx, vy=vy, vz=vz, quats=q,
+            px=cube(px), py=cube(py), pz=cube(pz),
+            ppx=cube(prev[0]), ppy=cube(prev[1]), ppz=cube(prev[2]),
+            vx=cube(vx), vy=cube(vy), vz=cube(vz), quats=q,
         )
         return out, diags
 
