@@ -186,3 +186,26 @@ def test_uneven_shard_rejected(sharded_setup):
     _, _, devmesh = sharded_setup
     with pytest.raises(ValueError, match="divide evenly"):
         pg.make_grid_sharded_step(devmesh, garr5)
+
+
+def test_world_grid_body_and_diagnostics():
+    """World.add_grid_body runs the stencil engine end-to-end with working
+    diagnostics (GridArrays-aware volume error / energy)."""
+    world = ts.World(ts.PhysicsParams(num_substeps=3))
+    body = world.add_grid_body(
+        (4, 3, 4), cell=0.2, origin=(-0.4, 0.5, -0.4), with_edges=True
+    )
+    world.step(30)
+    d = world.diagnostics()["body0"]
+    assert not d["nan"]
+    assert abs(d["volume_error"]) < 0.2
+    assert d["min_height"] >= -1e-4
+    assert d["kinetic_energy"] >= 0.0
+    # interaction through the Body surface
+    pid = body.start_grab([0.0, 1.0, 0.0])
+    assert pid >= 0
+    world.step(3)
+    body.end_grab()
+    # guard: a polar_grid Body without stencil arrays must be rejected
+    with pytest.raises(ValueError, match="polar_grid"):
+        ts.World().add_body(ts.grid_mesh(2, 2, 2), engine="polar_grid")

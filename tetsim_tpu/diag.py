@@ -85,14 +85,51 @@ class Timer:
         return self._substeps / dt if dt > 0 else 0.0
 
 
-def summarize(state: SimState, arr: TetArrays, frame_diag=None) -> dict:
-    out = {
-        "volume_error": float(volume_error(state, arr)),
-        "kinetic_energy": float(kinetic_energy(state, arr)),
-        "max_speed": float(max_speed(state)),
-        "min_height": float(min_height(state)),
-        "nan": bool(jnp.isnan(state.pos).any()),
-    }
+def _grid_volume_error(state: SimState, garr) -> float:
+    """volError for the stencil engine's GridArrays (no tets array —
+    reconstruct per-type corner views from the static stencil structure)."""
+    nx, ny, nz = garr.dims
+    gy, gz = ny + 1, nz + 1
+    pos = np.asarray(state.pos).reshape(nx + 1, gy, gz, 3)
+    total = 0.0
+    m = 0
+    for t in range(6):
+        offs = [garr.slab_offsets[s] for s in garr.corner_slab[t]]
+        p = [
+            pos[dx : dx + nx, dy : dy + ny, dz : dz + nz].reshape(-1, 3)
+            for (dx, dy, dz) in offs
+        ]
+        d = np.stack([p[1] - p[0], p[2] - p[0], p[3] - p[0]], axis=-1)
+        vol = np.linalg.det(d.astype(np.float64)) / 6.0
+        total += float(np.sum(vol / garr.rest_volume - 1.0))
+        m += vol.shape[0]
+    return total / m
+
+
+def summarize(state: SimState, arr, frame_diag=None) -> dict:
+    from .solvers.polar_grid import GridArrays
+
+    if isinstance(arr, GridArrays):
+        im = np.asarray(arr.inv_mass).reshape(-1)
+        mass = np.where(im > 0, 1.0 / np.maximum(im, 1e-30), 0.0)
+        vel = np.asarray(state.vel)
+        out = {
+            "volume_error": _grid_volume_error(state, arr),
+            "kinetic_energy": float(
+                0.5 * np.sum(mass * np.sum(vel**2, axis=-1))
+            ),
+            "max_speed": float(max_speed(state)),
+            "min_height": float(min_height(state)),
+            "nan": bool(jnp.isnan(state.pos).any()),
+        }
+    else:
+        out = {
+            "volume_error": float(volume_error(state, arr)),
+            "kinetic_energy": float(kinetic_energy(state, arr)),
+            "max_speed": float(max_speed(state)),
+            "min_height": float(min_height(state)),
+            "nan": bool(jnp.isnan(state.pos).any()),
+        }
     if frame_diag is not None:
         out["solver_vol_error"] = float(np.asarray(frame_diag)[-1])
     return out

@@ -124,6 +124,13 @@ class Body:
             # polar is Jacobi — no GS schedule needed (skip the host-side
             # coloring pass entirely)
             coloring = "ordered" if engine == "neohookean" else None
+        if engine == "polar_grid" and arrays is None:
+            raise ValueError(
+                "the polar_grid engine needs stencil arrays: pass "
+                "arrays=build_grid_arrays(mesh, (nx,ny,nz)) — the cube "
+                "dims are not derivable from a flat TetMesh (or use "
+                "World.add_grid_body)"
+            )
         self.arrays = arrays if arrays is not None else build_arrays(
             mesh, density=density, coloring=coloring, pinned=pinned
         )
@@ -409,9 +416,35 @@ class World:
         engine: str = "neohookean",
         coloring: Optional[str] = "auto",
         density: Optional[float] = None,
+        arrays=None,
+        pinned=None,
     ) -> Body:
         d = float(self.params.density) if density is None else density
-        body = Body(mesh, engine=engine, coloring=coloring, density=d)
+        body = Body(
+            mesh, engine=engine, coloring=coloring, density=d,
+            arrays=arrays, pinned=pinned,
+        )
+        self.bodies.append(body)
+        return body
+
+    def add_grid_body(
+        self,
+        dims,
+        cell: float = 0.1,
+        origin=(0.0, 0.0, 0.0),
+        density: Optional[float] = None,
+        pinned=None,
+        with_edges: bool = False,
+    ) -> Body:
+        """Add a grid_mesh box running the stencil scale engine
+        (solvers/polar_grid.py) — the fast path for structured meshes."""
+        from .mesh import grid_mesh
+        from .solvers.polar_grid import build_grid_arrays
+
+        d = float(self.params.density) if density is None else density
+        mesh = grid_mesh(*dims, cell=cell, origin=origin, with_edges=with_edges)
+        arrays = build_grid_arrays(mesh, tuple(dims), density=d, pinned=pinned)
+        body = Body(mesh, engine="polar_grid", arrays=arrays, coloring=None)
         self.bodies.append(body)
         return body
 
