@@ -75,17 +75,32 @@ def load(path: str, like=None, mesh=None, engine: str | None = None):
             f"checkpoint was written by engine {meta['engine']!r}, "
             f"not {engine!r}"
         )
-    if mesh is not None and "mesh_hash" in meta:
-        if (
-            meta["num_particles"] != mesh.num_particles
-            or meta["num_tets"] != mesh.num_tets
-            or meta["mesh_hash"] != mesh_fingerprint(mesh)
-        ):
+    if "shapes" in meta:  # corruption / partial-write guard
+        got = [list(np.shape(l)) for l in leaves]
+        if got != meta["shapes"]:
             raise ValueError(
-                "checkpoint does not match this mesh: stored "
-                f"{meta['num_particles']} particles / {meta['num_tets']} tets "
-                f"(hash {meta['mesh_hash']}), got {mesh.num_particles} / "
-                f"{mesh.num_tets} (hash {mesh_fingerprint(mesh)})"
+                f"checkpoint leaves {got} disagree with their own stamped "
+                f"shapes {meta['shapes']} — file corrupt or truncated"
+            )
+    if mesh is not None:
+        if "mesh_hash" in meta:
+            if (
+                meta["num_particles"] != mesh.num_particles
+                or meta["num_tets"] != mesh.num_tets
+                or meta["mesh_hash"] != mesh_fingerprint(mesh)
+            ):
+                raise ValueError(
+                    "checkpoint does not match this mesh: stored "
+                    f"{meta['num_particles']} particles / {meta['num_tets']} tets "
+                    f"(hash {meta['mesh_hash']}), got {mesh.num_particles} / "
+                    f"{mesh.num_tets} (hash {mesh_fingerprint(mesh)})"
+                )
+        elif leaves and np.shape(leaves[0])[0] != mesh.num_particles:
+            # unstamped (or pre-hardening) checkpoint: fall back to the
+            # particle count of the first leaf (pos for a SimState)
+            raise ValueError(
+                f"checkpoint first leaf has {np.shape(leaves[0])[0]} rows, "
+                f"mesh has {mesh.num_particles} particles"
             )
 
     if like is not None:

@@ -121,12 +121,20 @@ class _View:
 
     # -- per-frame data ------------------------------------------------------
     def pos_device(self):
-        """Flat [n_particles, 3] device positions."""
+        """Flat [n_particles, 3] device positions (no host round trip)."""
         if self.kind == "body":
             return self.body.state.pos
         if self.kind == "batched":
             return self.body.states.pos
-        return jnp.asarray(self.body.positions().reshape(-1, 3))
+        b = self.body
+        if hasattr(b, "sched"):  # FusedGSBody: SoA planes [9, B, R]
+            n = b.sched.num_particles
+            st = b.state
+            return jnp.stack(
+                [st[c, : b.num_bodies, :n] for c in range(3)], axis=-1
+            ).reshape(-1, 3)
+        # DenseBody: [N, 3, B] column batch
+        return jnp.moveaxis(b.state.pos, -1, 0).reshape(-1, 3)
 
     def surface_data(self, pos):
         """(verts, normals) numpy [n_vis,3] — empty when no surface."""
@@ -246,6 +254,10 @@ class ViewerServer:
             "n_tris": sum(v.n_tris for v in self.views),
             "n_particles": self._n_part,
             "n_edges": sum(v.n_edges for v in self.views),
+            # bodies with neither a surface nor a wireframe: the client
+            # draws these particle ranges as points so every body in the
+            # world is visible (physicsScene.softBodies contract)
+            "point_ranges": [],
         }
         tris_parts, edge_parts = [], []
         vert_off = 0
@@ -259,6 +271,8 @@ class ViewerServer:
                 edge_parts.append(
                     np.ascontiguousarray(v.edges, np.uint32) + np.uint32(part_off)
                 )
+            if not v.n_tris and not v.n_edges:
+                header["point_ranges"].append([part_off, v.n_particles])
             vert_off += v.n_vis
             part_off += v.n_particles
         tris = (
@@ -329,6 +343,11 @@ class ViewerServer:
                     off += v.n_particles
                 if best is not None and best[0] <= self.grab_radius:
                     _, view, pid, depth, gid = best
+                    if self._grab_view is not None:
+                        # a second start without an end (e.g. a fast click
+                        # whose release raced the first start's response)
+                        # must not leak the old body's hard pin
+                        self._grab_view.grab_end()
                     self._grab_depth = depth
                     self._grab_view = view
                     view.grab_start(pid, o + d * depth)

@@ -131,6 +131,11 @@ class Body:
                 "dims are not derivable from a flat TetMesh (or use "
                 "World.add_grid_body)"
             )
+        if arrays is not None and pinned is not None:
+            raise ValueError(
+                "pinned= has no effect when arrays= is prebuilt — bake the "
+                "pins in (build_arrays/build_grid_arrays take pinned=)"
+            )
         self.arrays = arrays if arrays is not None else build_arrays(
             mesh, density=density, coloring=coloring, pinned=pinned
         )
