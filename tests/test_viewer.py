@@ -195,3 +195,25 @@ def test_multi_grab_routes_to_batch_body(multi_server):
     out = _post(multi_server.port, "/grab", {"action": "end"})
     assert out["grabbed"] == -1
     assert int(np.asarray(batch.controls.grab_id)[1]) == -1
+
+
+def test_point_ranges_and_grab_leak():
+    """Review fixes: surface-less bodies get point ranges in /mesh, and a
+    second grab start on another body ends the first body's pin."""
+    world = ts.World(ts.PhysicsParams(num_substeps=2))
+    world.add_body(ts.load_dragon(), engine="polar")
+    world.add_grid_body((4, 3, 4), cell=0.2, origin=(2.0, 0.5, 0.0))
+    srv = ViewerServer(world)  # no .start(): drive methods directly
+
+    hdr, _ = _split_blob(srv.mesh_blob())
+    assert hdr["point_ranges"] == [[1234, 100]]
+
+    pos0 = srv.views[0].pos_device()
+    c0 = np.asarray(pos0).mean(axis=0)
+    out1 = srv.grab("start", origin=(c0 + [0, 0, 2]).tolist(), direction=[0, 0, -1])
+    assert 0 <= out1["grabbed"] < 1234
+    c1 = np.asarray(srv.views[1].pos_device()).mean(axis=0)
+    out2 = srv.grab("start", origin=(c1 + [0, 0, 2]).tolist(), direction=[0, 0, -1])
+    assert out2["grabbed"] >= 1234
+    assert int(world.bodies[0].controls.grab_id) == -1, "first grab leaked"
+    srv.grab("end")

@@ -213,3 +213,35 @@ def test_dense_backend_world_path(small_mesh):
     world.step(2)
     batch.end_grab(1)
     assert int(np.asarray(batch.grab_id)[1]) == -1
+
+
+def test_checkpoint_corruption_and_unstamped_mesh_guard(small_mesh, tmp_path):
+    import pytest
+
+    state = ts.init_state(small_mesh)
+    path = str(tmp_path / "plain.npz")
+    checkpoint.save(path, state)  # unstamped
+
+    other = ts.grid_mesh(4, 4, 4)
+    with pytest.raises(ValueError, match="rows"):
+        checkpoint.load(path, mesh=other)
+    out = checkpoint.load(path, mesh=small_mesh)
+    np.testing.assert_array_equal(out.pos, state.pos)
+
+    # a truncated/mutated file must fail the stamped-shape self check
+    import numpy as _np
+    with _np.load(path) as z:
+        data = {k: z[k] for k in z.files}
+    data["leaf0"] = data["leaf0"][:-1]
+    bad = str(tmp_path / "bad.npz")
+    _np.savez_compressed(bad, **data)
+    with pytest.raises(ValueError, match="corrupt|shapes"):
+        checkpoint.load(bad)
+
+
+def test_pinned_with_prebuilt_arrays_rejected(small_mesh):
+    import pytest
+
+    arr = ts.build_arrays(small_mesh, coloring=None)
+    with pytest.raises(ValueError, match="pinned"):
+        ts.World().add_body(small_mesh, engine="polar", arrays=arr, pinned=[0])
