@@ -33,7 +33,7 @@ def main():
           f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
 
     t0 = time.perf_counter()
-    if engine == "polar_grid":
+    if engine.startswith("polar_grid"):
         from tetsim_tpu.solvers.polar_grid import build_grid_arrays
 
         arr = build_grid_arrays(mesh, (n, n, n))
@@ -45,7 +45,21 @@ def main():
     state = ts.init_state(mesh)
     params = ts.PhysicsParams(num_substeps=substeps)
     controls = ts.Controls.none()
-    step = get_engine(engine).step_frame
+    # "<engine>+packed": keep state in the kernel's device layout across
+    # frames (kernels/polar_stencil.make_frame_stepper) — measures sustained
+    # sim throughput without the per-frame SimState layout conversion
+    packed_mode = engine.endswith("+packed")
+    if packed_mode:
+        from tetsim_tpu.kernels.polar_stencil import make_frame_stepper
+
+        pack, step_packed, unpack = make_frame_stepper(arr, interpret=False)
+        state = pack(state, params)
+
+        def step(s, arr_, params_, controls_):
+            return step_packed(s, params_, controls_), None
+
+    else:
+        step = get_engine(engine).step_frame
 
     # Honest methodology (BENCHNOTES.md): K frames inside one jitted scan,
     # timed region ends with a DATA-DEPENDENT device->host transfer (through
@@ -70,13 +84,14 @@ def main():
         chk = 0.0
         for r in range(reps):
             out = run(st)
-            chk = float(out.pos.sum())  # data-dependent sync
+            # data-dependent sync (packed mode: first position plane)
+            chk = float(jax.tree.leaves(out)[0].sum())
             print(f"  rep {r} chk={chk:.4f}", file=sys.stderr, flush=True)
         return (time.perf_counter() - t0) / reps, chk
 
     # pick the two-point spread by engine speed: fast engines need a wide
     # spread so the per-frame delta dominates round-trip jitter
-    k1, k2 = (50, 400) if engine == "polar_grid" else (3, 15)
+    k1, k2 = (50, 400) if engine.startswith("polar_grid") else (3, 15)
     run1, run2 = make_runner(k1), make_runner(k2)
     t0 = time.perf_counter()
     timed(run1, state, reps=1)

@@ -1,0 +1,138 @@
+"""Fused Pallas stencil kernel (kernels/polar_stencil.py) vs the XLA
+stencil engine (solvers/polar_grid.py).
+
+Runs in Pallas interpret mode on the hermetic CPU suite; the real Mosaic
+lowering is covered by tests_tpu/test_hardware.py.  Math and operation
+order mirror polar_grid exactly, so trajectories must match to f32
+accumulation-order tolerance (the kernel's only intentional divergences —
+(pos, prev) velocity carry and a precomputed scatter reciprocal — are
+~1 ulp/substep each).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import tetsim_tpu as ts
+from tetsim_tpu.solvers import get_engine
+from tetsim_tpu.solvers.polar_grid import build_grid_arrays
+from tetsim_tpu.kernels.polar_stencil import make_frame_stepper
+
+DIMS = (4, 3, 5)
+
+
+@pytest.fixture(scope="module")
+def grid_setup():
+    mesh = ts.grid_mesh(*DIMS, cell=0.25, origin=(-0.5, 0.4, -0.6))
+    garr = build_grid_arrays(mesh, DIMS)
+    return mesh, garr
+
+
+def _run(step, state, arr, params, controls, frames):
+    for _ in range(frames):
+        state, _ = step(state, arr, params, controls)
+    return state
+
+
+def test_engine_registered():
+    eng = get_engine("polar_grid_pallas")
+    assert hasattr(eng, "step_frame") and hasattr(eng, "substep")
+
+
+def test_parity_with_xla_stencil(grid_setup):
+    mesh, garr = grid_setup
+    params = ts.PhysicsParams(num_substeps=4)
+    controls = ts.Controls.none()
+    step_x = jax.jit(get_engine("polar_grid").step_frame)
+    step_p = get_engine("polar_grid_pallas").step_frame
+    s_x = _run(step_x, ts.init_state(mesh), garr, params, controls, 5)
+    s_p = _run(step_p, ts.init_state(mesh), garr, params, controls, 5)
+    np.testing.assert_allclose(s_x.pos, s_p.pos, atol=2e-5)
+    np.testing.assert_allclose(s_x.prev_pos, s_p.prev_pos, atol=2e-5)
+    np.testing.assert_allclose(s_x.quats, s_p.quats, atol=2e-5)
+    np.testing.assert_allclose(s_x.vel, s_p.vel, atol=2e-2)
+
+
+def test_grab_parity(grid_setup):
+    mesh, garr = grid_setup
+    params = ts.PhysicsParams(num_substeps=4)
+    gid = int(np.argmax(mesh.verts[:, 1]))
+    ctl = ts.Controls(
+        grab_id=jnp.int32(gid),
+        grab_pos=jnp.asarray([0.2, 1.2, 0.1], jnp.float32),
+    )
+    step_x = jax.jit(get_engine("polar_grid").step_frame)
+    step_p = get_engine("polar_grid_pallas").step_frame
+    s_x = _run(step_x, ts.init_state(mesh), garr, params, ctl, 4)
+    s_p = _run(step_p, ts.init_state(mesh), garr, params, ctl, 4)
+    # the grabbed particle is pinned to grab_pos
+    np.testing.assert_allclose(
+        np.asarray(s_p.pos)[gid], [0.2, 1.2, 0.1], atol=1e-6
+    )
+    np.testing.assert_allclose(s_x.pos, s_p.pos, atol=2e-5)
+
+
+def test_pinned_particles(grid_setup):
+    mesh, _ = grid_setup
+    top = np.argsort(-mesh.verts[:, 1])[:4].tolist()
+    garr_p = build_grid_arrays(mesh, DIMS, pinned=top)
+    params = ts.PhysicsParams(num_substeps=4)
+    step_p = get_engine("polar_grid_pallas").step_frame
+    s0 = ts.init_state(mesh)
+    s = _run(step_p, s0, garr_p, params, ts.Controls.none(), 4)
+    np.testing.assert_allclose(
+        np.asarray(s.pos)[top], np.asarray(s0.pos)[top], atol=1e-6
+    )
+    # the rest of the body must hang (move) under gravity
+    assert float(jnp.abs(s.pos - s0.pos).max()) > 1e-3
+
+
+def test_packed_stepper_matches_step_frame(grid_setup):
+    mesh, garr = grid_setup
+    params = ts.PhysicsParams(num_substeps=3)
+    controls = ts.Controls.none()
+    pack, step, unpack = make_frame_stepper(garr)
+    packed = pack(ts.init_state(mesh), params)
+    for _ in range(3):
+        packed = step(packed, params, controls)
+    s_packed = unpack(packed, params)
+    step_p = get_engine("polar_grid_pallas").step_frame
+    s_frame = _run(
+        step_p, ts.init_state(mesh), garr, params, controls, 3
+    )
+    np.testing.assert_allclose(s_packed.pos, s_frame.pos, atol=1e-6)
+    np.testing.assert_allclose(s_packed.quats, s_frame.quats, atol=1e-6)
+    np.testing.assert_allclose(s_packed.vel, s_frame.vel, atol=1e-4)
+
+
+def test_pack_unpack_roundtrip(grid_setup):
+    mesh, garr = grid_setup
+    params = ts.PhysicsParams(num_substeps=2)
+    pack, _, unpack = make_frame_stepper(garr)
+    s0 = ts.init_state(mesh)
+    s1 = unpack(pack(s0, params), params)
+    np.testing.assert_allclose(s0.pos, s1.pos, atol=1e-7)
+    np.testing.assert_allclose(s0.quats, s1.quats, atol=1e-7)
+    # vel round-trips through prev = pos - vel*dt (1-ulp class)
+    np.testing.assert_allclose(s0.vel, s1.vel, atol=1e-4)
+
+
+def test_world_grid_body_pallas():
+    w = ts.World(params=ts.PhysicsParams(num_substeps=2))
+    body = w.add_grid_body(
+        (2, 2, 3), cell=0.25, origin=(0.0, 0.5, 0.0),
+        engine="polar_grid_pallas",
+    )
+    w.step()
+    pos = np.asarray(body.state.pos)
+    assert np.isfinite(pos).all()
+    w2 = ts.World(params=ts.PhysicsParams(num_substeps=2))
+    b2 = w2.add_grid_body((2, 2, 3), cell=0.25, origin=(0.0, 0.5, 0.0))
+    w2.step()
+    np.testing.assert_allclose(pos, np.asarray(b2.state.pos), atol=2e-5)
+
+
+def test_world_grid_body_rejects_other_engines():
+    w = ts.World()
+    with pytest.raises(ValueError, match="stencil engines"):
+        w.add_grid_body((2, 2, 2), engine="neohookean")

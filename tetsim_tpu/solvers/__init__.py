@@ -9,6 +9,8 @@ reference's two-backend structure (SURVEY.md §1 L2):
     Jacobi iteration (the SoftbodyGPU.js path; embarrassingly parallel)
   * ``polar_grid`` — same math specialized to structured grid_mesh boxes:
     gather/scatter replaced by an 8-slab stencil (the TPU scale path)
+  * ``polar_grid_pallas`` — the same stencil substep fused into ONE Pallas
+    kernel per substep (kernels/polar_stencil.py) — the device-kernel form
   * ``golden``     — sequential NumPy oracle for parity tests
 """
 from . import common, golden, neohookean, polar, polar_grid  # noqa: F401
@@ -19,9 +21,24 @@ ENGINES = {
     "polar_grid": polar_grid,
 }
 
+# Engines that live outside solvers/ (device kernels); imported lazily to
+# avoid a package-import cycle (kernels.polar_stencil imports solvers).
+_LAZY_ENGINES = {
+    "polar_grid_pallas": "tetsim_tpu.kernels.polar_stencil",
+}
+
 
 def get_engine(name: str):
+    if name in _LAZY_ENGINES:
+        import importlib
+
+        mod = importlib.import_module(_LAZY_ENGINES[name])
+        ENGINES[name] = mod
+        return mod
     try:
         return ENGINES[name]
     except KeyError:
-        raise ValueError(f"unknown engine {name!r}; available: {sorted(ENGINES)}")
+        raise ValueError(
+            f"unknown engine {name!r}; available: "
+            f"{sorted(set(ENGINES) | set(_LAZY_ENGINES))}"
+        )

@@ -124,7 +124,7 @@ class Body:
             # polar is Jacobi — no GS schedule needed (skip the host-side
             # coloring pass entirely)
             coloring = "ordered" if engine == "neohookean" else None
-        if engine == "polar_grid" and arrays is None:
+        if engine in ("polar_grid", "polar_grid_pallas") and arrays is None:
             raise ValueError(
                 "the polar_grid engine needs stencil arrays: pass "
                 "arrays=build_grid_arrays(mesh, (nx,ny,nz)) — the cube "
@@ -440,16 +440,22 @@ class World:
         density: Optional[float] = None,
         pinned=None,
         with_edges: bool = False,
+        engine: str = "polar_grid",
     ) -> Body:
         """Add a grid_mesh box running the stencil scale engine
-        (solvers/polar_grid.py) — the fast path for structured meshes."""
+        (solvers/polar_grid.py, or its fused Pallas form with
+        engine="polar_grid_pallas") — the fast path for structured meshes."""
         from .mesh import grid_mesh
         from .solvers.polar_grid import build_grid_arrays
 
+        if engine not in ("polar_grid", "polar_grid_pallas"):
+            raise ValueError(
+                f"add_grid_body runs the stencil engines, not {engine!r}"
+            )
         d = float(self.params.density) if density is None else density
         mesh = grid_mesh(*dims, cell=cell, origin=origin, with_edges=with_edges)
         arrays = build_grid_arrays(mesh, tuple(dims), density=d, pinned=pinned)
-        body = Body(mesh, engine="polar_grid", arrays=arrays, coloring=None)
+        body = Body(mesh, engine=engine, arrays=arrays, coloring=None)
         self.bodies.append(body)
         return body
 
