@@ -215,3 +215,47 @@ def test_polar_stencil_packed_rate_floor():
     assert per_substep < 2e-3, (
         f"1M-tet fused stencil substep regressed: {per_substep*1e3:.3f} ms"
     )
+
+
+def test_fused_polar_matches_xla_on_hardware(dragon):
+    """Fused VMEM polar kernel (kernels/polar_fused.py) vs the XLA polar
+    engine, real Mosaic lowering, 10 frames x 20 substeps on the dragon
+    (the reference GPU config, main.js:26)."""
+    from tetsim_tpu.kernels.polar_fused import FusedPolarBody
+
+    params = ts.PhysicsParams(num_substeps=20)
+    body = FusedPolarBody(dragon, num_bodies=8, interpret=False)
+    body.step(params, frames=10)
+    fp = body.positions()
+
+    arr = ts.build_arrays(dragon, coloring=None)
+    step = jax.jit(get_engine("polar").step_frame)
+    state = _frame_loop(
+        step, ts.init_state(dragon), arr, params, ts.Controls.none(), 10
+    )
+    xla_pos = np.asarray(state.pos)
+    for b in range(8):
+        np.testing.assert_allclose(fp[b], xla_pos, atol=5e-5)
+
+
+def test_fused_polar_rate_floor(dragon):
+    """Fused polar dragon floor: >6k substeps/s/body (measured 14.4k;
+    6k catches a 2x regression and still beats the XLA engine's 5.4k)."""
+    from tetsim_tpu.kernels.polar_fused import FusedPolarBody
+
+    params = ts.PhysicsParams(num_substeps=20)
+    body = FusedPolarBody(dragon, num_bodies=8, interpret=False)
+
+    def timed(frames):
+        t0 = time.perf_counter()
+        body.step(params, frames=frames)
+        float(np.asarray(body.state).sum())
+        return time.perf_counter() - t0
+
+    k1, k2 = 20, 120
+    timed(k1)  # compile + warm
+    timed(k2)
+    t1, t2 = timed(k1), timed(k2)
+    per_frame = (t2 - t1) / (k2 - k1)
+    rate = params.num_substeps / per_frame
+    assert rate > 6000, f"fused polar rate regressed: {rate:.0f} substeps/s"

@@ -4,3 +4,4 @@ passes, SoftbodyGPU.js §2.4).
 """
 from .schedule import VmemSchedule, build_vmem_schedule  # noqa: F401
 from .gs_fused import FusedGSBody  # noqa: F401
+from .polar_fused import FusedPolarBody, PolarSchedule, build_polar_schedule  # noqa: F401

@@ -94,9 +94,10 @@ class _View:
             self._state0 = body.states
         else:
             from ..kernels.gs_fused import FusedGSBody
+            from ..kernels.polar_fused import FusedPolarBody
             from ..world import DenseBody
 
-            if not isinstance(body, (FusedGSBody, DenseBody)):
+            if not isinstance(body, (FusedGSBody, FusedPolarBody, DenseBody)):
                 raise ValueError(
                     f"viewer cannot render body of type {type(body).__name__}"
                 )
@@ -205,6 +206,8 @@ class _View:
             )
         else:
             self.body.state = self._state0
+            if hasattr(self.body, "quats"):  # FusedPolarBody rotation state
+                self.body.quats = self.body._init_quats()
             for b in range(self.body.num_bodies):
                 self.body.end_grab(b)
         self._grab_sub = None

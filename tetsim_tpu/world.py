@@ -473,21 +473,32 @@ class World:
 
         backend="flat"  — one flattened disjoint mesh through the XLA
                           engines (any engine, any size).
-        backend="fused" — the VMEM-resident Pallas kernel (neohookean only;
-                          bodies batched in sublanes, VMEM-gated size;
-                          fastest measured path: 10.5k substeps/s/body on
-                          the dragon).
+        backend="fused" — the VMEM-resident Pallas kernels (neohookean or
+                          polar; bodies batched in sublanes, VMEM-gated
+                          size; fastest measured paths on the dragon).
         backend="dense" — the MXU one-hot engine (neohookean only; bodies
                           batched in matmul columns; experimental — see
                           solvers/dense.py header for precision caveats).
         """
         d = float(self.params.density) if density is None else density
         if backend == "fused":
-            if engine != "neohookean":
-                raise ValueError("the fused backend implements the neohookean engine")
-            from .kernels import FusedGSBody
+            if engine == "neohookean":
+                from .kernels import FusedGSBody
 
-            batch = FusedGSBody(mesh, num_bodies, density=d, jitter=jitter, seed=seed)
+                batch = FusedGSBody(
+                    mesh, num_bodies, density=d, jitter=jitter, seed=seed
+                )
+            elif engine == "polar":
+                from .kernels.polar_fused import FusedPolarBody
+
+                batch = FusedPolarBody(
+                    mesh, num_bodies, density=d, jitter=jitter, seed=seed
+                )
+            else:
+                raise ValueError(
+                    "the fused backend implements the neohookean and "
+                    f"polar engines, not {engine!r}"
+                )
         elif backend == "dense":
             if engine != "neohookean":
                 raise ValueError("the dense backend implements the neohookean engine")
@@ -512,10 +523,11 @@ class World:
         from . import diag
 
         from .kernels.gs_fused import FusedGSBody
+        from .kernels.polar_fused import FusedPolarBody
 
         out = {}
         for i, b in enumerate(self.bodies):
-            if isinstance(b, (FusedGSBody, DenseBody)):
+            if isinstance(b, (FusedGSBody, FusedPolarBody, DenseBody)):
                 pos = b.positions()
                 vel = b.velocities()
                 out[f"body{i}"] = {
