@@ -112,6 +112,53 @@ def _bench_classic(mesh, params):
     return per_frame
 
 
+def _bench_scale_1m():
+    """Secondary headline: 1,053,696-tet grid through the fused Pallas
+    stencil kernel, packed state (kernels/polar_stencil.py) — the BASELINE
+    north-star workload.  Returns ms/substep, or None on failure (the
+    primary dragon metric must not be blocked by this)."""
+    import jax
+    import tetsim_tpu as ts
+    from tetsim_tpu.solvers.polar_grid import build_grid_arrays
+    from tetsim_tpu.kernels.polar_stencil import make_frame_stepper
+
+    n = 56
+    mesh = ts.grid_mesh(n, n, n, cell=0.02, origin=(-0.56, 0.5, -0.56))
+    garr = build_grid_arrays(mesh, (n, n, n))
+    params = ts.PhysicsParams(num_substeps=1)
+    controls = ts.Controls.none()
+    pack, step, unpack = make_frame_stepper(garr, interpret=False)
+    packed0 = pack(ts.init_state(mesh), params)
+
+    def runner(frames):
+        @jax.jit
+        def run(st):
+            def body(s, _):
+                return step(s, params, controls), None
+
+            s, _ = jax.lax.scan(body, st, None, length=frames)
+            return s
+
+        return run
+
+    k1, k2 = 50, 400
+    run1, run2 = runner(k1), runner(k2)
+
+    def timed(run, reps=2):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            chk = float(jax.tree.leaves(run(packed0))[0].sum())
+        assert np.isfinite(chk)
+        return (time.perf_counter() - t0) / reps
+
+    timed(run1, reps=1)
+    timed(run2, reps=1)
+    per_substep = (timed(run2) - timed(run1)) / (k2 - k1)
+    print(f"scale: 1M-tet stencil {per_substep*1e3:.3f} ms/substep",
+          file=sys.stderr, flush=True)
+    return per_substep
+
+
 def main():
     import tetsim_tpu as ts
 
@@ -125,6 +172,12 @@ def main():
               "falling back to XLA engine", file=sys.stderr, flush=True)
         per_frame = _bench_classic(mesh, params)
         path = "classic"
+    try:
+        scale_ms = _bench_scale_1m()
+    except Exception as e:
+        print(f"1M-tet scale bench unavailable ({type(e).__name__}: "
+              f"{str(e)[:120]})", file=sys.stderr, flush=True)
+        scale_ms = None
 
     substeps_per_sec = params.num_substeps / per_frame
     out = {
@@ -141,6 +194,10 @@ def main():
         out["aggregate_body_substeps_per_sec"] = round(
             substeps_per_sec * FUSED_BODIES, 1
         )
+    if scale_ms is not None:
+        # north-star workload (BASELINE.md: 1M tets >60 Hz on v5e-8)
+        out["scale_1m_tets_ms_per_substep"] = round(scale_ms * 1e3, 3)
+        out["scale_1m_tets_hz_single_chip"] = round(1.0 / scale_ms, 1)
     print(json.dumps(out))
 
 

@@ -67,8 +67,13 @@ def test_fused_backend_in_world(small_mesh):
     batch.end_grab(1)
     import pytest as _pytest
 
+    # polar has its own fused kernel now (kernels/polar_fused.py)
+    from tetsim_tpu.kernels.polar_fused import FusedPolarBody
+
+    pb = world.add_body_batch(mesh, 2, engine="polar", backend="fused")
+    assert isinstance(pb, FusedPolarBody)
     with _pytest.raises(ValueError):
-        world.add_body_batch(mesh, 2, engine="polar", backend="fused")
+        world.add_body_batch(mesh, 2, engine="golden", backend="fused")
     with _pytest.raises(ValueError):
         world.add_body_batch(mesh, 2, backend="bogus")
 
