@@ -127,7 +127,7 @@ def _bench_scale_1m():
     garr = build_grid_arrays(mesh, (n, n, n))
     params = ts.PhysicsParams(num_substeps=1)
     controls = ts.Controls.none()
-    pack, step, unpack = make_frame_stepper(garr, interpret=False)
+    pack, step, unpack, _ = make_frame_stepper(garr, interpret=False)
     packed0 = pack(ts.init_state(mesh), params)
 
     def runner(frames):

@@ -52,7 +52,7 @@ def main():
     if packed_mode:
         from tetsim_tpu.kernels.polar_stencil import make_frame_stepper
 
-        pack, step_packed, unpack = make_frame_stepper(arr, interpret=False)
+        pack, step_packed, unpack, _ = make_frame_stepper(arr, interpret=False)
         state = pack(state, params)
 
         def step(s, arr_, params_, controls_):

@@ -91,7 +91,7 @@ def test_packed_stepper_matches_step_frame(grid_setup):
     mesh, garr = grid_setup
     params = ts.PhysicsParams(num_substeps=3)
     controls = ts.Controls.none()
-    pack, step, unpack = make_frame_stepper(garr)
+    pack, step, unpack, _ = make_frame_stepper(garr)
     packed = pack(ts.init_state(mesh), params)
     for _ in range(3):
         packed = step(packed, params, controls)
@@ -108,7 +108,7 @@ def test_packed_stepper_matches_step_frame(grid_setup):
 def test_pack_unpack_roundtrip(grid_setup):
     mesh, garr = grid_setup
     params = ts.PhysicsParams(num_substeps=2)
-    pack, _, unpack = make_frame_stepper(garr)
+    pack, _, unpack, _ = make_frame_stepper(garr)
     s0 = ts.init_state(mesh)
     s1 = unpack(pack(s0, params), params)
     np.testing.assert_allclose(s0.pos, s1.pos, atol=1e-7)
@@ -136,3 +136,82 @@ def test_world_grid_body_rejects_other_engines():
     w = ts.World()
     with pytest.raises(ValueError, match="stencil engines"):
         w.add_grid_body((2, 2, 2), engine="neohookean")
+
+
+def test_packed_grid_body_matches_body():
+    """World.add_grid_body(packed=True) — PackedGridBody trajectory matches
+    the unpacked polar_grid_pallas Body through the same World API."""
+    from tetsim_tpu.world import PackedGridBody
+
+    mk = lambda: ts.World(params=ts.PhysicsParams(num_substeps=2))
+    w1, w2 = mk(), mk()
+    kw = dict(cell=0.25, origin=(0.0, 0.5, 0.0))
+    b1 = w1.add_grid_body((2, 2, 3), engine="polar_grid_pallas",
+                          packed=True, **kw)
+    assert isinstance(b1, PackedGridBody)
+    b2 = w2.add_grid_body((2, 2, 3), engine="polar_grid_pallas", **kw)
+    for _ in range(4):
+        w1.step()
+        w2.step()
+    np.testing.assert_allclose(b1.positions, np.asarray(b2.state.pos),
+                               atol=1e-6)
+    # full-state export (checkpoint boundary) also agrees
+    np.testing.assert_allclose(np.asarray(b1.state.quats),
+                               np.asarray(b2.state.quats), atol=1e-6)
+    d = w1.diagnostics()["body0"]
+    assert not d["nan"]
+
+
+def test_packed_grid_body_grab_and_reset():
+    w = ts.World(params=ts.PhysicsParams(num_substeps=2))
+    b = w.add_grid_body((2, 2, 3), cell=0.25, origin=(0.0, 0.5, 0.0),
+                        engine="polar_grid_pallas", packed=True)
+    p0 = b.positions.copy()
+    target = [0.3, 1.3, 0.1]
+    pid = b.start_grab([0.25, 1.0, 0.35])
+    b.move_grabbed(target)
+    w.step(3)
+    np.testing.assert_allclose(b.positions[pid], target, atol=1e-6)
+    b.end_grab()
+    b.reset()
+    np.testing.assert_allclose(b.positions, p0, atol=1e-7)
+
+
+def test_packed_grid_body_dt_change():
+    """Live-tuning dt (viewer sliders) re-derives the packed velocity
+    carry instead of silently rescaling it."""
+    w = ts.World(params=ts.PhysicsParams(num_substeps=2))
+    b = w.add_grid_body((2, 2, 3), cell=0.25, origin=(0.0, 0.5, 0.0),
+                        engine="polar_grid_pallas", packed=True)
+    w.step(2)
+    v_before = np.asarray(b.state.vel)
+    w.params = w.params.replace(time_scale=jnp.float32(0.5))  # dt halves
+    w.step()
+    v_after = np.asarray(b.state.vel)
+    assert np.isfinite(v_after).all()
+    # velocity magnitude must stay continuous (not jump ~2x from the
+    # prev-carry reinterpretation)
+    m0, m1 = np.abs(v_before).max(), np.abs(v_after).max()
+    assert m1 < m0 * 1.6 + 0.5
+
+
+def test_viewer_view_packed_grid_body():
+    from tetsim_tpu.viewer.server import _View
+
+    w = ts.World(params=ts.PhysicsParams(num_substeps=2))
+    b = w.add_grid_body((2, 2, 3), cell=0.25, origin=(0.0, 0.5, 0.0),
+                        engine="polar_grid_pallas", packed=True,
+                        with_edges=True)
+    view = _View(b)
+    assert view.kind == "body" and view._packed_grid
+    assert view.n_edges > 0
+    pos = np.asarray(view.pos_device())
+    assert pos.shape == (b.mesh.num_particles, 3)
+    view.grab_start(2, [0.0, 1.0, 0.0])
+    assert view.grabbed_id() == 2
+    w.step()
+    view.grab_end()
+    view.reset()
+    np.testing.assert_allclose(
+        np.asarray(view.pos_device()), np.asarray(b.mesh.verts), atol=1e-6
+    )

@@ -183,7 +183,7 @@ def test_polar_stencil_packed_rate_floor():
     garr = build_grid_arrays(mesh, (n, n, n))
     params = ts.PhysicsParams(num_substeps=1)
     controls = ts.Controls.none()
-    pack, step, unpack = make_frame_stepper(garr, interpret=False)
+    pack, step, unpack, _ = make_frame_stepper(garr, interpret=False)
     packed0 = pack(ts.init_state(mesh), params)
 
     def runner(frames):

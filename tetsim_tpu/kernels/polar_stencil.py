@@ -377,7 +377,7 @@ def step_frame(
     the hermetic CPU test suite.
     """
     del axis_name
-    pack, step, unpack = make_frame_stepper(arr, interpret)
+    pack, step, unpack, _ = make_frame_stepper(arr, interpret)
     packed = step(pack(state, params), params, controls)
     return unpack(packed, params), jnp.zeros(
         (params.num_substeps,), jnp.float32
@@ -479,4 +479,10 @@ def make_frame_stepper(arr: GridArrays, interpret: bool | None = None):
             quats=_unpack_quats(quats, geom),
         )
 
-    return pack, step, unpack
+    def unpack_pos(packed):
+        """Positions only ([N,3]) — the cheap per-render-frame export (the
+        full unpack pays the quat relayout; rendering needs only pos)."""
+        (px, py, pz), _, _ = packed
+        return _unpack3(px, py, pz, geom)
+
+    return pack, step, unpack, unpack_pos

@@ -80,12 +80,18 @@ class _View:
     def __init__(self, body):
         self.body = body
         self._grab_sub = None  # sub-body index of an active grab (batches)
-        if isinstance(body, Body):
+        self._packed_grid = False
+        from ..world import PackedGridBody
+
+        if isinstance(body, (Body, PackedGridBody)):
+            # PackedGridBody mirrors Body's controls/grab API; only the
+            # position export (cheap packed unpack) and reset differ
             self.kind = "body"
+            self._packed_grid = isinstance(body, PackedGridBody)
             self.n_particles = body.mesh.num_particles
             self.surface = body._surface
             self.edges = body.mesh.edges
-            self._state0 = body.state
+            self._state0 = None if self._packed_grid else body.state
         elif isinstance(body, BatchedBody):
             self.kind = "batched"
             self.n_particles = body.flat_mesh.num_particles
@@ -124,6 +130,8 @@ class _View:
     def pos_device(self):
         """Flat [n_particles, 3] device positions (no host round trip)."""
         if self.kind == "body":
+            if self._packed_grid:
+                return self.body.pos_device()
             return self.body.state.pos
         if self.kind == "batched":
             return self.body.states.pos
@@ -196,8 +204,11 @@ class _View:
 
     def reset(self):
         if self.kind == "body":
-            self.body.state = self._state0
-            self.body.end_grab()
+            if self._packed_grid:
+                self.body.reset()
+            else:
+                self.body.state = self._state0
+                self.body.end_grab()
         elif self.kind == "batched":
             self.body.states = self._state0
             self.body.controls = Controls(
@@ -507,7 +518,10 @@ class ViewerServer:
 
 def main():
     """CLI: python -m tetsim_tpu.viewer.server [--engine polar] [--port 8787]
-    [--bodies N] — N > 1 renders a draggable batch (BatchedBody)."""
+    [--bodies N] — N > 1 renders a draggable batch (BatchedBody).
+    [--grid NX,NY,NZ] — a grid_mesh box through the fused Pallas stencil
+    kernel with packed device state (PackedGridBody): interactive
+    million-tet scenes (e.g. --grid 32,32,32 = 196,608 tets)."""
     import argparse
 
     ap = argparse.ArgumentParser(description="tetsim_tpu interactive viewer")
@@ -516,6 +530,9 @@ def main():
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--substeps", type=int, default=None)
     ap.add_argument("--bodies", type=int, default=1)
+    ap.add_argument("--grid", default=None,
+                    help="NX,NY,NZ grid_mesh via the packed stencil kernel")
+    ap.add_argument("--cell", type=float, default=0.06)
     args = ap.parse_args()
 
     from ..mesh import load_dragon
@@ -525,7 +542,16 @@ def main():
     if args.substeps:
         params = params.replace(num_substeps=args.substeps)
     world = World(params)
-    if args.bodies > 1:
+    if args.grid:
+        dims = tuple(int(x) for x in args.grid.split(","))
+        ext = max(dims) * args.cell
+        world.add_grid_body(
+            dims, cell=args.cell,
+            origin=(-dims[0] * args.cell / 2, ext * 0.75,
+                    -dims[2] * args.cell / 2),
+            engine="polar_grid_pallas", packed=True, with_edges=True,
+        )
+    elif args.bodies > 1:
         world.add_body_batch(
             load_dragon(), args.bodies, engine=args.engine, jitter=0.5
         )

@@ -226,6 +226,90 @@ class Body:
         return self._surface.mesh_data(self.state.pos, quats, normals)
 
 
+class PackedGridBody:
+    """Grid body whose state STAYS in the fused stencil kernel's packed
+    device layout across frames (kernels/polar_stencil.make_frame_stepper).
+
+    The SimState layout ([N,3] / [M,4] minor dims) pads to 128-lane TPU
+    tiles, so converting it per frame costs ~1 ms at 1M tets — more than
+    the 0.67 ms fused substep.  This body converts only at the I/O
+    boundary: positions for rendering (cheap pos-only unpack), the full
+    SimState on demand (checkpoint/diagnostics).  The interactive analogue
+    of the reference keeping its state in textures and reading back only
+    on grab (SoftbodyGPU.js:649-668).  Grab API mirrors Body."""
+
+    def __init__(self, mesh, arrays, params: PhysicsParams,
+                 interpret: Optional[bool] = None):
+        from .kernels.polar_stencil import make_frame_stepper
+
+        self.mesh = mesh
+        self.arrays = arrays
+        self.engine = "polar_grid_pallas"
+        pack, stepfn, unpack, unpack_pos = make_frame_stepper(
+            arrays, interpret
+        )
+        self._pack = pack
+        self._stepfn = jax.jit(stepfn)
+        self._unpack = unpack
+        self._unpack_pos = jax.jit(unpack_pos)
+        self._params = params
+        self._packed = self._pack(init_state(mesh), params)
+        self._packed0 = self._packed
+        self.controls = Controls.none()
+        self.last_diag = None
+        self._surface = None  # grid_mesh has no embedded render surface
+        self._skin_ids = None
+
+    def step(self, params: PhysicsParams):
+        if float(params.dt) != float(self._params.dt):
+            # the packed carry encodes velocity as prev = pos - v*dt; a dt
+            # change (live tuning) re-derives prev under the new dt
+            self._packed = self._pack(
+                self._unpack(self._packed, self._params), params
+            )
+        self._packed = self._stepfn(self._packed, params, self.controls)
+        self._params = params
+        self.last_diag = None
+        return None
+
+    # -- state I/O boundary -------------------------------------------------
+    @property
+    def state(self) -> SimState:
+        """Full SimState (pays the layout conversion — checkpoint/diag)."""
+        return self._unpack(self._packed, self._params)
+
+    @state.setter
+    def state(self, new: SimState):
+        self._packed = self._pack(new, self._params)
+
+    def pos_device(self):
+        """Device [N,3] positions — the cheap per-render-frame export."""
+        return self._unpack_pos(self._packed)
+
+    @property
+    def positions(self) -> np.ndarray:
+        return np.asarray(self.pos_device())
+
+    # -- interaction (Body-compatible) ---------------------------------------
+    def start_grab(self, point) -> int:
+        point = jnp.asarray(point, jnp.float32)
+        gid = _nearest_particle(self.pos_device(), point)
+        self.controls = Controls(grab_id=gid, grab_pos=point)
+        return int(gid)
+
+    def move_grabbed(self, point):
+        self.controls = self.controls.replace(
+            grab_pos=jnp.asarray(point, jnp.float32)
+        )
+
+    def end_grab(self):
+        self.controls = Controls.none()
+
+    def reset(self):
+        self._packed = self._packed0
+        self.end_grab()
+
+
 class BatchedBody:
     """N bodies of one mesh stepped as ONE flattened disjoint mesh — the
     TPU-native form of the reference's multi-body scene list (main.js:51
@@ -441,10 +525,16 @@ class World:
         pinned=None,
         with_edges: bool = False,
         engine: str = "polar_grid",
-    ) -> Body:
+        packed: bool = False,
+    ):
         """Add a grid_mesh box running the stencil scale engine
         (solvers/polar_grid.py, or its fused Pallas form with
-        engine="polar_grid_pallas") — the fast path for structured meshes."""
+        engine="polar_grid_pallas") — the fast path for structured meshes.
+
+        ``packed=True`` (polar_grid_pallas only) keeps the state in the
+        kernel's device layout across frames (PackedGridBody) — the
+        sustained-throughput form: at 1M tets the per-frame SimState
+        conversion alone costs more than the fused substep."""
         from .mesh import grid_mesh
         from .solvers.polar_grid import build_grid_arrays
 
@@ -455,7 +545,14 @@ class World:
         d = float(self.params.density) if density is None else density
         mesh = grid_mesh(*dims, cell=cell, origin=origin, with_edges=with_edges)
         arrays = build_grid_arrays(mesh, tuple(dims), density=d, pinned=pinned)
-        body = Body(mesh, engine=engine, arrays=arrays, coloring=None)
+        if packed:
+            if engine != "polar_grid_pallas":
+                raise ValueError(
+                    "packed grid state requires engine='polar_grid_pallas'"
+                )
+            body = PackedGridBody(mesh, arrays, self.params)
+        else:
+            body = Body(mesh, engine=engine, arrays=arrays, coloring=None)
         self.bodies.append(body)
         return body
 
