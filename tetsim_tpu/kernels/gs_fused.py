@@ -295,11 +295,15 @@ class FusedGSBody:
                 "schedules (coloring='greedy', typically <64 levels) — use "
                 "the XLA neohookean engine for ordered/long schedules"
             )
-        # VMEM sizing (16 MB scoped limit).  Bodies are processed in BLOCKS
-        # of B_blk sublanes: only one block's state + the shared tables must
-        # fit VMEM; the batch streams HBM->VMEM block by block via the
-        # Pallas grid pipeline (double-buffered automatically), so the
-        # total body count is unbounded (lifts the round-1 <=32-body gate).
+        # VMEM sizing.  Bodies are processed in BLOCKS of B_blk sublanes:
+        # only one block's state + the shared tables must fit VMEM; the
+        # batch streams HBM->VMEM block by block via the Pallas grid
+        # pipeline (double-buffered automatically), so the total body count
+        # is unbounded (lifts the round-1 <=32-body gate).  The budget is
+        # 96 MB, not 16: the default scoped limit is a soft cap — v5e has
+        # 128 MB physical VMEM, unlocked via CompilerParams
+        # (vmem_limit_bytes; see kernels/polar_fused.py and BENCHNOTES) —
+        # which also lifts the round-1 mesh-size gate ~6x.
         s0 = self.sched
         tables = 4 * (2 * s0.L * 8 * s0.R + s0.L * 14 * s0.C)
 
@@ -309,11 +313,11 @@ class FusedGSBody:
             return tables + 4 * b * s0.R * (60 + 2 * 9)
 
         b_pad = (num_bodies + 7) // 8 * 8
-        feasible = [blk for blk in (8, 16, 32) if est(blk) <= 15_500_000]
+        feasible = [blk for blk in (8, 16, 32) if est(blk) <= 96_000_000]
         if not feasible:
             raise ValueError(
                 f"fused kernel VMEM estimate {est(8)/1e6:.1f} MB exceeds the "
-                f"16 MB budget even at an 8-body block (R={s0.R}, "
+                f"96 MB budget even at an 8-body block (R={s0.R}, "
                 f"L={s0.L}) — the mesh is too large for the VMEM-resident "
                 "kernel; use the XLA engines or polar_grid"
             )
@@ -412,6 +416,9 @@ class FusedGSBody:
                 (9, b, s.R), lambda i: (0, i, 0), memory_space=pltpu.VMEM
             ),
             input_output_aliases={3: 0},  # state buffer reused as output
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100_000_000,
+            ),
             interpret=interpret,
         )(par, gid, gpos, state, self._ids, self._inv, self._irp, self._irv, self._imc)
 
