@@ -215,3 +215,17 @@ def test_viewer_view_packed_grid_body():
     np.testing.assert_allclose(
         np.asarray(view.pos_device()), np.asarray(b.mesh.verts), atol=1e-6
     )
+
+
+def test_packed_grid_body_step_many():
+    """step_many(N) == N x step() (one dispatch vs N)."""
+    mk = lambda: ts.World(params=ts.PhysicsParams(num_substeps=2))
+    w1, w2 = mk(), mk()
+    kw = dict(cell=0.25, origin=(0.0, 0.5, 0.0),
+              engine="polar_grid_pallas", packed=True)
+    b1 = w1.add_grid_body((2, 2, 3), **kw)
+    b2 = w2.add_grid_body((2, 2, 3), **kw)
+    b1.step_many(w1.params, 4)
+    for _ in range(4):
+        b2.step(w2.params)
+    np.testing.assert_allclose(b1.positions, b2.positions, atol=1e-7)

@@ -252,6 +252,15 @@ class PackedGridBody:
         self._stepfn = jax.jit(stepfn)
         self._unpack = unpack
         self._unpack_pos = jax.jit(unpack_pos)
+
+        def _many(packed, params, controls, frames):
+            def body(s, _):
+                return stepfn(s, params, controls), None
+
+            s, _ = jax.lax.scan(body, packed, None, length=frames)
+            return s
+
+        self._step_many = jax.jit(_many, static_argnames=("frames",))
         self._params = params
         self._packed = self._pack(init_state(mesh), params)
         self._packed0 = self._packed
@@ -270,6 +279,20 @@ class PackedGridBody:
         self._packed = self._stepfn(self._packed, params, self.controls)
         self._params = params
         self.last_diag = None
+        return None
+
+    def step_many(self, params: PhysicsParams, frames: int):
+        """`frames` full frames in ONE device dispatch (lax.scan) — the
+        sustained-throughput form: per-call round-trip latency (~35 ms on
+        tunneled devices, BENCHNOTES pitfall 2) amortizes over the batch."""
+        if float(params.dt) != float(self._params.dt):
+            self._packed = self._pack(
+                self._unpack(self._packed, self._params), params
+            )
+        self._packed = self._step_many(
+            self._packed, params, self.controls, frames=frames
+        )
+        self._params = params
         return None
 
     # -- state I/O boundary -------------------------------------------------
