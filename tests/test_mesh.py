@@ -1,5 +1,6 @@
 """Mesh loading, rest-state precompute, and coloring tests."""
 import numpy as np
+import jax
 import pytest
 
 import tetsim_tpu as ts
@@ -145,3 +146,42 @@ def test_tetgen_loader(tmp_path):
     (tmp_path / "bad.ele").write_text("1 4 0\n1 1 2 9 3\n")
     with pytest.raises(ValueError):
         load_tetgen(str(tmp_path / "m.node"), str(tmp_path / "bad.ele"))
+
+
+def test_masked_grid_mesh_sphere():
+    """Shaped bodies from cube predicates (no external mesher)."""
+    m = ts.ellipsoid_mesh(n=8, radii=(0.3, 0.3, 0.3), center=(0.0, 0.5, 0.0))
+    full = ts.grid_mesh(9, 9, 9, cell=0.075)
+    assert 0 < m.num_tets < full.num_tets
+    # compacted ids: every vertex is referenced
+    assert m.tets.max() == m.num_particles - 1
+    assert len(np.unique(m.tets)) == m.num_particles
+    # all tets positively oriented
+    p = m.verts[m.tets]
+    d = np.stack([p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], p[:, 3] - p[:, 0]],
+                 axis=-1)
+    assert (np.linalg.det(d) > 0).all()
+    # every vertex is inside the bounding ellipsoid inflated by one cell
+    r = np.linalg.norm(m.verts - np.array([0.0, 0.5, 0.0]), axis=-1)
+    assert r.max() <= 0.3 + 0.16
+
+
+def test_masked_grid_mesh_validation():
+    with pytest.raises(ValueError, match="rejected every cube"):
+        ts.masked_grid_mesh(2, 2, 2, lambda c: np.zeros(8, bool))
+    with pytest.raises(ValueError, match="must return bool"):
+        ts.masked_grid_mesh(2, 2, 2, lambda c: np.zeros(3, bool))
+
+
+def test_ellipsoid_simulates_on_both_engines():
+    m = ts.ellipsoid_mesh(n=6, radii=(0.2, 0.15, 0.2), center=(0.0, 0.4, 0.0))
+    params = ts.PhysicsParams(num_substeps=3)
+    for engine, coloring in (("polar", None), ("neohookean", "greedy")):
+        arr = ts.build_arrays(m, coloring=coloring)
+        step = jax.jit(ts.get_engine(engine).step_frame)
+        s = ts.init_state(m)
+        for _ in range(30):
+            s, _ = step(s, arr, params, ts.Controls.none())
+        pos = np.asarray(s.pos)
+        assert np.isfinite(pos).all()
+        assert pos[:, 1].min() >= -1e-5  # resting on / above the floor

@@ -9,7 +9,8 @@ skinning, multi-body batching, and multi-chip sharding.
 from .params import PhysicsParams, default_cpu_params, default_gpu_params
 from .state import SimState, Controls, init_state
 from .mesh import (
-    TetMesh, TetArrays, load_dragon, grid_mesh, build_arrays,
+    TetMesh, TetArrays, load_dragon, grid_mesh, masked_grid_mesh,
+    ellipsoid_mesh, build_arrays,
     replicate_mesh, load_npz, save_npz, load_tetgen,
 )
 from .solvers import get_engine
@@ -27,6 +28,8 @@ __all__ = [
     "TetArrays",
     "load_dragon",
     "grid_mesh",
+    "masked_grid_mesh",
+    "ellipsoid_mesh",
     "build_arrays",
     "replicate_mesh",
     "load_npz",

@@ -407,16 +407,85 @@ def grid_mesh(
     d = np.stack([p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], p[:, 3] - p[:, 0]], axis=-1)
     neg = np.linalg.det(d) < 0
     tets[neg] = tets[neg][:, [0, 2, 1, 3]]
-    edges = None
-    if with_edges:
-        pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
-        edges = np.unique(
-            np.sort(
-                np.concatenate([tets[:, list(c)] for c in pairs], axis=0), axis=1
-            ),
-            axis=0,
-        ).astype(np.int32)
+    edges = _derive_edges(tets) if with_edges else None
     return TetMesh(verts=verts, tets=tets, edges=edges)
+
+
+def _derive_edges(tets: np.ndarray) -> np.ndarray:
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    return np.unique(
+        np.sort(
+            np.concatenate([tets[:, list(c)] for c in pairs], axis=0), axis=1
+        ),
+        axis=0,
+    ).astype(np.int32)
+
+
+def masked_grid_mesh(
+    nx: int,
+    ny: int,
+    nz: int,
+    keep,
+    cell: float = 0.1,
+    origin=(0.0, 0.0, 0.0),
+    with_edges: bool = False,
+) -> TetMesh:
+    """``grid_mesh`` with cubes filtered by a predicate — shaped soft
+    bodies (spheres, shells, tubes) without an external mesher (the
+    reference ships only its hard-coded dragon, Dragon.js).
+
+    ``keep``: callable(centers f32 [C,3]) -> bool [C] over cube centers.
+    Unused vertices are compacted.  The result is irregular, so it runs on
+    the generic engines (neohookean / polar / fused kernels), NOT the
+    polar_grid stencil."""
+    full = grid_mesh(nx, ny, nz, cell=cell, origin=origin)
+    ci, cj, ck = np.meshgrid(
+        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+    )
+    centers = (
+        np.asarray(origin, np.float32)
+        + (np.stack([ci, cj, ck], axis=-1).reshape(-1, 3) + 0.5)
+        * np.float32(cell)
+    ).astype(np.float32)
+    mask = np.asarray(keep(centers), bool)
+    if mask.shape != (nx * ny * nz,):
+        raise ValueError(
+            f"keep() must return bool [{nx*ny*nz}], got {mask.shape}"
+        )
+    if not mask.any():
+        raise ValueError("keep() rejected every cube")
+    tets = full.tets[np.tile(mask, 6)]  # tets are type-major: 6 x C blocks
+    used = np.unique(tets)
+    remap = np.full(full.num_particles, -1, np.int32)
+    remap[used] = np.arange(len(used), dtype=np.int32)
+    tets = remap[tets]
+    verts = full.verts[used]
+    edges = _derive_edges(tets) if with_edges else None
+    return TetMesh(verts=verts, tets=tets, edges=edges)
+
+
+def ellipsoid_mesh(
+    n: int = 12,
+    radii=(0.5, 0.5, 0.5),
+    cell: Optional[float] = None,
+    center=(0.0, 1.0, 0.0),
+    with_edges: bool = False,
+) -> TetMesh:
+    """Solid tet ellipsoid (sphere for equal radii): a masked grid of
+    ~n cubes across each diameter."""
+    radii = np.asarray(radii, np.float32)
+    c = np.asarray(center, np.float32)
+    if cell is None:
+        cell = float(2.0 * radii.max() / n)
+    dims = tuple(int(np.ceil(2.0 * r / cell)) + 1 for r in radii)
+    origin = tuple(c - np.asarray(dims) * cell / 2.0)
+
+    def keep(centers):
+        return np.sum(((centers - c) / radii) ** 2, axis=-1) <= 1.0
+
+    return masked_grid_mesh(
+        *dims, keep, cell=cell, origin=origin, with_edges=with_edges
+    )
 
 
 def replicate_mesh(
