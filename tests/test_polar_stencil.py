@@ -229,3 +229,55 @@ def test_packed_grid_body_step_many():
     for _ in range(4):
         b2.step(w2.params)
     np.testing.assert_allclose(b1.positions, b2.positions, atol=1e-7)
+
+
+def test_sharded_pallas_matches_unsharded():
+    """The fused kernel composed with slab sharding (epilogue-free kernel +
+    ppermute halo + XLA apply) matches the single-device kernel, including
+    an active grab (8-device CPU mesh)."""
+    from jax.sharding import Mesh
+    from tetsim_tpu.kernels.polar_stencil import make_grid_sharded_stepper
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    dims = (8, 3, 5)
+    mesh = ts.grid_mesh(*dims, cell=0.2, origin=(-0.8, 0.5, -0.5))
+    garr = build_grid_arrays(mesh, dims)
+    params = ts.PhysicsParams(num_substeps=3)
+    gid = int(np.argmax(mesh.verts[:, 1]))
+    ctl = ts.Controls(
+        grab_id=jnp.int32(gid),
+        grab_pos=jnp.asarray([0.2, 1.2, 0.1], jnp.float32),
+    )
+    jmesh = Mesh(np.array(devs[:8]), ("x",))
+    prepare, step, unprepare = make_grid_sharded_stepper(jmesh, garr)
+    packed = prepare(ts.init_state(mesh), params)
+    for _ in range(5):
+        packed = step(packed, params, ctl)
+    s_sh = unprepare(packed, params)
+
+    step_u = get_engine("polar_grid_pallas").step_frame
+    s_u = ts.init_state(mesh)
+    for _ in range(5):
+        s_u, _ = step_u(s_u, garr, params, ctl)
+
+    np.testing.assert_allclose(s_sh.pos, s_u.pos, atol=2e-6)
+    np.testing.assert_allclose(s_sh.quats, s_u.quats, atol=2e-6)
+    np.testing.assert_allclose(s_sh.prev_pos, s_u.prev_pos, atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_sh.pos)[gid], [0.2, 1.2, 0.1], atol=1e-6
+    )
+
+
+def test_sharded_pallas_rejects_uneven_split():
+    from jax.sharding import Mesh
+    from tetsim_tpu.kernels.polar_stencil import make_grid_sharded_stepper
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    dims = (6, 2, 2)  # nx=6 does not divide over 8
+    garr = build_grid_arrays(ts.grid_mesh(*dims, cell=0.2), dims)
+    with pytest.raises(ValueError, match="divide evenly"):
+        make_grid_sharded_stepper(Mesh(np.array(devs[:8]), ("x",)), garr)

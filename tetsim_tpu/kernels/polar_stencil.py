@@ -132,7 +132,12 @@ def _shift_accum(ref, val, base, o, rb, roll):
     ref[pl.ds(base + q + 1, rb), :] += jnp.where(lane < s, shifted, zero)
 
 
-def _make_kernel(geom: _Geometry, corner_slab, rest_centered, interpret):
+def _make_kernel(geom: _Geometry, corner_slab, rest_centered, interpret,
+                 epilogue: bool = True):
+    """``epilogue=False`` builds the SHARDED-path variant: it stops after
+    accumulation (acc refs are outputs, not scratch) so the multi-chip
+    wrapper can halo-exchange boundary accumulator planes between shards
+    before applying them (in XLA — apply/collide/grab are elementwise)."""
     rb, nb, rows, offs = geom.rb, geom.nb, geom.rows, geom.offs
 
     if interpret:
@@ -241,6 +246,9 @@ def _make_kernel(geom: _Geometry, corner_slab, rest_centered, interpret):
             _shift_accum(az_ref, accz[s], base, o, rb, roll)
 
         # ---- epilogue: apply deltas, collide, grab, finalize --------------
+        if not epilogue:
+            return
+
         @pl.when(b == nb - 1)
         def _():
             wminx, wminy, wminz = par_ref[0, 3], par_ref[0, 4], par_ref[0, 5]
@@ -277,6 +285,45 @@ def _make_kernel(geom: _Geometry, corner_slab, rest_centered, interpret):
                 oz_ref[sl] = jnp.where(hit, gpz, z)
 
     return kernel
+
+
+@functools.lru_cache(maxsize=8)
+def _make_call_acc(dims, slab_offsets, corner_slab, rest_centered,
+                   rest_volume, interpret: bool):
+    """Accumulate-only pallas_call for the sharded path: outputs the
+    predicted positions, new quats, and the UNAPPLIED accumulator planes
+    (halo exchange + apply happen outside, see make_grid_sharded_stepper)."""
+    geom = _Geometry(dims, slab_offsets, rest_volume)
+    kernel = _make_kernel(
+        geom, corner_slab, rest_centered, interpret, epilogue=False
+    )
+    rows, rb, nb, qrows = geom.rows, geom.rb, geom.nb, geom.qrows
+
+    full = pl.BlockSpec(
+        (rows, _LANES), lambda b: (0, 0), memory_space=pltpu.VMEM
+    )
+    qblock = pl.BlockSpec(
+        (24, rb, _LANES), lambda b: (0, b, 0), memory_space=pltpu.VMEM
+    )
+    wblock = pl.BlockSpec(
+        (rb, _LANES), lambda b: (b, 0), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=[jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)] * 3
+        + [jax.ShapeDtypeStruct((24, qrows, _LANES), jnp.float32)]
+        + [jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)] * 3,
+        in_specs=[smem, smem] + [full] * 8 + [wblock, qblock],
+        out_specs=[full, full, full, qblock, full, full, full],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )
+    return geom, call, geom.wmask(rest_volume)
 
 
 @functools.lru_cache(maxsize=8)
@@ -486,3 +533,232 @@ def make_frame_stepper(arr: GridArrays, interpret: bool | None = None):
         return _unpack3(px, py, pz, geom)
 
     return pack, step, unpack, unpack_pos
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip: the fused kernel composed with slab sharding
+# ---------------------------------------------------------------------------
+#
+# Same decomposition as solvers/polar_grid.make_grid_sharded_step (device d
+# owns lx cube layers; the shared vertex plane is stored by both owners;
+# per substep the only communication is one accumulator plane per neighbor
+# direction, ~39 KB at the 1M-tet config), but the solve runs through the
+# fused Pallas kernel: the epilogue-free variant outputs the UNAPPLIED
+# accumulator planes, the wrapper halo-exchanges them with lax.ppermute,
+# and the apply/collide/grab tail — pure elementwise — runs in XLA.
+# Duplicated boundary planes stay bitwise identical on both owners (each
+# adds the same two partial sums; IEEE addition is commutative).
+
+
+def make_grid_sharded_stepper(mesh, garr: GridArrays, axis: str = "x",
+                              interpret: bool | None = None):
+    """Build (prepare, step, unprepare) for the Pallas-fused sharded path.
+
+    prepare(state, params)        -> sharded packed pytree
+    step(packed, params, controls)-> packed  (num_substeps substeps)
+    unprepare(packed, params)     -> SimState
+
+    ``mesh`` is a jax.sharding.Mesh; state lives as stacked per-shard
+    component planes [D*rows_loc, 128] sharded on axis 0.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    d = mesh.shape[axis]
+    nx, ny, nz = garr.dims
+    if nx % d != 0:
+        raise ValueError(f"nx={nx} must divide evenly over {d} devices")
+    lx = nx // d
+    gx, gy, gz = nx + 1, ny + 1, nz + 1
+    gyz = gy * gz
+    nv_loc = (lx + 1) * gyz
+
+    geom, call, wmask_np = _make_call_acc(
+        (lx, ny, nz), garr.slab_offsets, garr.corner_slab,
+        garr.rest_centered, garr.rest_volume, bool(interpret),
+    )
+    rows = geom.rows
+    wmask = jnp.asarray(wmask_np)
+
+    def _stack(a3d):
+        """[gx,gy,gz] -> [d*rows, 128]: per-device slabs (duplicated
+        boundary plane), each flat-padded to the kernel's row count."""
+        slabs = [
+            _pack_flat(
+                a3d[i * lx : i * lx + lx + 1].reshape(nv_loc), geom
+            )
+            for i in range(d)
+        ]
+        return jnp.concatenate(slabs, axis=0)
+
+    def _unstack(s):
+        """[d*rows, 128] -> flat [N] (keeps the first copy of shared
+        planes)."""
+        slabs = s.reshape(d, rows * _LANES)[:, :nv_loc]
+        body = slabs[:, : lx * gyz].reshape(-1)
+        return jnp.concatenate([body, slabs[d - 1, lx * gyz :]])
+
+    n_loc = geom.lc  # local cube lanes
+
+    def _stack_quats(quats):
+        """[M,4] global type-major -> [24, d*qrows, 128]."""
+        q = quats.reshape(6, nx, ny, nz, 4)
+        blocks = []
+        for i in range(d):
+            blocks.append(
+                _pack_quats(
+                    q[:, i * lx : (i + 1) * lx].reshape(-1, 4), geom
+                )
+            )
+        return jnp.concatenate(blocks, axis=1)
+
+    def _unstack_quats(q):
+        blocks = q.reshape(24, d, geom.qrows, _LANES)
+        parts = [
+            _unpack_quats(blocks[:, i], geom).reshape(6, lx, ny, nz, 4)
+            for i in range(d)
+        ]
+        return jnp.concatenate(parts, axis=1).reshape(-1, 4)
+
+    # per-particle constants, sharded like the state
+    movw_g = _stack((garr.inv_mass > 0.0).astype(jnp.float32))
+    invden_g = _stack(1.0 / jnp.maximum(garr.den, _EPS))
+
+    spec = P(axis)
+    qspec = P(None, axis)
+
+    def prepare(state: SimState, params: PhysicsParams):
+        dt = params.dt
+        sh = lambda a, s: jax.device_put(a, NamedSharding(mesh, s))
+        pos3 = [state.pos[:, c].reshape(gx, gy, gz) for c in range(3)]
+        vel3 = [state.vel[:, c].reshape(gx, gy, gz) for c in range(3)]
+        p = tuple(sh(_stack(pos3[c]), spec) for c in range(3))
+        pp = tuple(
+            sh(_stack(pos3[c] - vel3[c] * dt), spec) for c in range(3)
+        )
+        return (p, pp, sh(_stack_quats(state.quats), qspec))
+
+    def unprepare(packed, params: PhysicsParams) -> SimState:
+        (px, py, pz), (ppx, ppy, ppz), quats = packed
+        pos = jnp.stack([_unstack(px), _unstack(py), _unstack(pz)], axis=-1)
+        prev = jnp.stack(
+            [_unstack(ppx), _unstack(ppy), _unstack(ppz)], axis=-1
+        )
+        return SimState(
+            pos=pos,
+            prev_pos=prev,
+            vel=(pos - prev) / params.dt,
+            quats=_unstack_quats(quats),
+        )
+
+    def _halo(acc):
+        """Complete boundary-plane partial sums with one ppermute per
+        neighbor direction (the only inter-chip communication)."""
+        f = acc.reshape(-1)
+        fr = jax.lax.ppermute(
+            f[0:gyz], axis, [(i, i - 1) for i in range(1, d)]
+        )
+        fl = jax.lax.ppermute(
+            f[lx * gyz : nv_loc], axis, [(i, i + 1) for i in range(d - 1)]
+        )
+        f = f.at[lx * gyz : nv_loc].add(fr).at[0:gyz].add(fl)
+        return f.reshape(rows, _LANES)
+
+    def shard_body(p, pp, quats, movw, invden, par, gid):
+        px, py, pz = p
+        ppx, ppy, ppz = pp
+        x_offset = jax.lax.axis_index(axis).astype(jnp.int32) * (
+            lx * gyz
+        )
+        dt = par[0, 0]
+        friction = par[0, 2]
+        wmin = par[0, 3:6]
+        wmax = par[0, 6:9]
+        gpos = par[0, 9:12]
+        k = jnp.minimum(1.0, dt * friction)
+        pid = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0) * _LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+            + x_offset
+        )
+        hit = pid == gid[0, 0]
+        movable = movw > 0.0
+
+        def substep(carry, _):
+            (px, py, pz), (ppx, ppy, ppz), quats = carry
+            prx, pry, prz, nq, ax, ay, az = call(
+                par, gid, px, py, pz, ppx, ppy, ppz, movw, invden,
+                wmask, quats,
+            )
+            ax, ay, az = _halo(ax), _halo(ay), _halo(az)
+            # apply + collide + grab — the kernel epilogue's exact op order
+            x = jnp.where(movable, prx + ax * invden, prx)
+            y = jnp.where(movable, pry + ay * invden, pry)
+            z = jnp.where(movable, prz + az * invden, prz)
+            x = jnp.clip(x, wmin[0], wmax[0])
+            y = jnp.clip(y, wmin[1], wmax[1])
+            z = jnp.clip(z, wmin[2], wmax[2])
+            below = y < 0.0
+            y = jnp.where(below, 0.0, y)
+            x = x + jnp.where(below, (px - x) * k, 0.0)
+            z = z + jnp.where(below, (pz - z) * k, 0.0)
+            x = jnp.where(hit, gpos[0], x)
+            y = jnp.where(hit, gpos[1], y)
+            z = jnp.where(hit, gpos[2], z)
+            return (((x, y, z), (px, py, pz), nq), None)
+
+        carry, _ = jax.lax.scan(
+            substep, ((px, py, pz), (ppx, ppy, ppz), quats), None,
+            length=num_substeps_holder[0],
+        )
+        return carry
+
+    num_substeps_holder = [None]
+
+    @functools.partial(jax.jit, static_argnames=("num_substeps",))
+    def _sharded(packed, par, gid, movw, invden, num_substeps):
+        num_substeps_holder[0] = num_substeps
+        p, pp, quats = packed
+        fn = jax.shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(
+                (spec,) * 3, (spec,) * 3, qspec, spec, spec, P(), P(),
+            ),
+            out_specs=((spec,) * 3, (spec,) * 3, qspec),
+            check_vma=False,
+        )
+        return fn(p, pp, quats, movw, invden, par, gid)
+
+    def step(packed, params: PhysicsParams, controls: Controls):
+        if controls.grab_id.ndim != 0:
+            raise NotImplementedError(
+                "sharded stencil path supports the scalar grab_id form"
+            )
+        dt = params.dt
+        par = jnp.stack(
+            [
+                dt,
+                params.gravity * dt * dt,
+                params.friction,
+                params.world_min[0], params.world_min[1],
+                params.world_min[2],
+                params.world_max[0], params.world_max[1],
+                params.world_max[2],
+                controls.grab_pos[0], controls.grab_pos[1],
+                controls.grab_pos[2],
+            ]
+        ).reshape(1, 12).astype(jnp.float32)
+        gid = controls.grab_id.reshape(1, 1).astype(jnp.int32)
+        out = _sharded(
+            packed, par, gid, movw_g, invden_g, params.num_substeps
+        )
+        if mesh.devices.flat[0].platform == "cpu":
+            # serialize dispatch on the CPU test backend (XLA-CPU's
+            # in-process communicator deadlocks under interleaved async
+            # collective dispatches — see parallel/sharding.py)
+            jax.block_until_ready(out)
+        return out
+
+    return prepare, step, unprepare
