@@ -320,6 +320,7 @@ def _make_call_acc(dims, slab_offsets, corner_slab, rest_centered,
         out_specs=[full, full, full, qblock, full, full, full],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100_000_000,  # soft cap unlock (BENCHNOTES)
         ),
         interpret=interpret,
     )
@@ -359,6 +360,7 @@ def _make_call(dims, slab_offsets, corner_slab, rest_centered, rest_volume,
         scratch_shapes=[pltpu.VMEM((rows, _LANES), jnp.float32)] * 3,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100_000_000,  # soft cap unlock (BENCHNOTES)
         ),
         interpret=interpret,
     )
@@ -665,63 +667,63 @@ def make_grid_sharded_stepper(mesh, garr: GridArrays, axis: str = "x",
         f = f.at[lx * gyz : nv_loc].add(fr).at[0:gyz].add(fl)
         return f.reshape(rows, _LANES)
 
-    def shard_body(p, pp, quats, movw, invden, par, gid):
-        px, py, pz = p
-        ppx, ppy, ppz = pp
-        x_offset = jax.lax.axis_index(axis).astype(jnp.int32) * (
-            lx * gyz
-        )
-        dt = par[0, 0]
-        friction = par[0, 2]
-        wmin = par[0, 3:6]
-        wmax = par[0, 6:9]
-        gpos = par[0, 9:12]
-        k = jnp.minimum(1.0, dt * friction)
-        pid = (
-            jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0) * _LANES
-            + jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
-            + x_offset
-        )
-        hit = pid == gid[0, 0]
-        movable = movw > 0.0
-
-        def substep(carry, _):
-            (px, py, pz), (ppx, ppy, ppz), quats = carry
-            prx, pry, prz, nq, ax, ay, az = call(
-                par, gid, px, py, pz, ppx, ppy, ppz, movw, invden,
-                wmask, quats,
+    def _make_shard_body(num_substeps):
+        def shard_body(p, pp, quats, movw, invden, par, gid):
+            px, py, pz = p
+            ppx, ppy, ppz = pp
+            x_offset = jax.lax.axis_index(axis).astype(jnp.int32) * (
+                lx * gyz
             )
-            ax, ay, az = _halo(ax), _halo(ay), _halo(az)
-            # apply + collide + grab — the kernel epilogue's exact op order
-            x = jnp.where(movable, prx + ax * invden, prx)
-            y = jnp.where(movable, pry + ay * invden, pry)
-            z = jnp.where(movable, prz + az * invden, prz)
-            x = jnp.clip(x, wmin[0], wmax[0])
-            y = jnp.clip(y, wmin[1], wmax[1])
-            z = jnp.clip(z, wmin[2], wmax[2])
-            below = y < 0.0
-            y = jnp.where(below, 0.0, y)
-            x = x + jnp.where(below, (px - x) * k, 0.0)
-            z = z + jnp.where(below, (pz - z) * k, 0.0)
-            x = jnp.where(hit, gpos[0], x)
-            y = jnp.where(hit, gpos[1], y)
-            z = jnp.where(hit, gpos[2], z)
-            return (((x, y, z), (px, py, pz), nq), None)
+            dt = par[0, 0]
+            friction = par[0, 2]
+            wmin = par[0, 3:6]
+            wmax = par[0, 6:9]
+            gpos = par[0, 9:12]
+            k = jnp.minimum(1.0, dt * friction)
+            pid = (
+                jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0) * _LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+                + x_offset
+            )
+            hit = pid == gid[0, 0]
+            movable = movw > 0.0
 
-        carry, _ = jax.lax.scan(
-            substep, ((px, py, pz), (ppx, ppy, ppz), quats), None,
-            length=num_substeps_holder[0],
-        )
-        return carry
+            def substep(carry, _):
+                (px, py, pz), (ppx, ppy, ppz), quats = carry
+                prx, pry, prz, nq, ax, ay, az = call(
+                    par, gid, px, py, pz, ppx, ppy, ppz, movw, invden,
+                    wmask, quats,
+                )
+                ax, ay, az = _halo(ax), _halo(ay), _halo(az)
+                # apply + collide + grab — the kernel epilogue's exact op order
+                x = jnp.where(movable, prx + ax * invden, prx)
+                y = jnp.where(movable, pry + ay * invden, pry)
+                z = jnp.where(movable, prz + az * invden, prz)
+                x = jnp.clip(x, wmin[0], wmax[0])
+                y = jnp.clip(y, wmin[1], wmax[1])
+                z = jnp.clip(z, wmin[2], wmax[2])
+                below = y < 0.0
+                y = jnp.where(below, 0.0, y)
+                x = x + jnp.where(below, (px - x) * k, 0.0)
+                z = z + jnp.where(below, (pz - z) * k, 0.0)
+                x = jnp.where(hit, gpos[0], x)
+                y = jnp.where(hit, gpos[1], y)
+                z = jnp.where(hit, gpos[2], z)
+                return (((x, y, z), (px, py, pz), nq), None)
 
-    num_substeps_holder = [None]
+            carry, _ = jax.lax.scan(
+                substep, ((px, py, pz), (ppx, ppy, ppz), quats), None,
+                length=num_substeps,
+            )
+            return carry
+
+        return shard_body
 
     @functools.partial(jax.jit, static_argnames=("num_substeps",))
     def _sharded(packed, par, gid, movw, invden, num_substeps):
-        num_substeps_holder[0] = num_substeps
         p, pp, quats = packed
         fn = jax.shard_map(
-            shard_body,
+            _make_shard_body(num_substeps),
             mesh=mesh,
             in_specs=(
                 (spec,) * 3, (spec,) * 3, qspec, spec, spec, P(), P(),
