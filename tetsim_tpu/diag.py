@@ -85,24 +85,27 @@ class Timer:
         return self._substeps / dt if dt > 0 else 0.0
 
 
-def _grid_volume_error(state: SimState, garr) -> float:
+@jax.jit
+def _grid_volume_error(state: SimState, garr):
     """volError for the stencil engine's GridArrays (no tets array —
-    reconstruct per-type corner views from the static stencil structure)."""
+    reconstruct per-type corner views from the static stencil structure).
+
+    Runs jitted on device: at the 1M-tet config the previous host-side
+    float64 pass copied the full position grid and took seconds per call."""
     nx, ny, nz = garr.dims
     gy, gz = ny + 1, nz + 1
-    pos = np.asarray(state.pos).reshape(nx + 1, gy, gz, 3)
-    total = 0.0
-    m = 0
+    pos = state.pos.reshape(nx + 1, gy, gz, 3)
+    total = jnp.float32(0.0)
+    m = 6 * nx * ny * nz
     for t in range(6):
         offs = [garr.slab_offsets[s] for s in garr.corner_slab[t]]
         p = [
             pos[dx : dx + nx, dy : dy + ny, dz : dz + nz].reshape(-1, 3)
             for (dx, dy, dz) in offs
         ]
-        d = np.stack([p[1] - p[0], p[2] - p[0], p[3] - p[0]], axis=-1)
-        vol = np.linalg.det(d.astype(np.float64)) / 6.0
-        total += float(np.sum(vol / garr.rest_volume - 1.0))
-        m += vol.shape[0]
+        d = jnp.stack([p[1] - p[0], p[2] - p[0], p[3] - p[0]], axis=-1)
+        vol = jnp.linalg.det(d) / 6.0
+        total = total + jnp.sum(vol / garr.rest_volume - 1.0)
     return total / m
 
 
@@ -114,7 +117,7 @@ def summarize(state: SimState, arr, frame_diag=None) -> dict:
         mass = np.where(im > 0, 1.0 / np.maximum(im, 1e-30), 0.0)
         vel = np.asarray(state.vel)
         out = {
-            "volume_error": _grid_volume_error(state, arr),
+            "volume_error": float(_grid_volume_error(state, arr)),
             "kinetic_energy": float(
                 0.5 * np.sum(mass * np.sum(vel**2, axis=-1))
             ),

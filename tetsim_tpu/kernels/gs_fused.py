@@ -36,44 +36,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .schedule import VmemSchedule, build_vmem_schedule
+from .schedule import ta_tiled as _ta_tiled  # shared lane-gather helper
 from ..params import PhysicsParams
-
-
-def _ta(x, idx):
-    """take_along_axis along lanes — lowers to tpu.dynamic_gather."""
-    return jnp.take_along_axis(x, idx, axis=1, mode="promise_in_bounds")
-
-
-def _ta_tiled(x, idx, tiles):
-    """Lane-gather across >128 lanes, decomposed per 128-lane vreg.
-
-    Mosaic's ``tpu.dynamic_gather`` only supports a single source vreg
-    along the gather dimension ("Multiple source vregs along gather
-    dimension" otherwise), so each 128-lane output tile gathers from each
-    of its statically-known source tiles (``tiles[o]``, precomputed on the
-    host — schedule.tile_lists; tets are sorted within a level so most
-    output tiles touch only 1-2 source tiles) and masks the results
-    together."""
-    b, r = x.shape
-    t_count = r // 128
-    if t_count == 1:
-        return _ta(x, idx)
-    outs = []
-    for o in range(t_count):
-        idx_o = idx[:, o * 128 : (o + 1) * 128]
-        src = tiles[o]
-        if len(src) == 1:
-            t = src[0]
-            outs.append(_ta(x[:, t * 128 : (t + 1) * 128], idx_o - t * 128))
-            continue
-        acc = jnp.zeros((b, 128), x.dtype)
-        for t in src:
-            loc = jnp.clip(idx_o - t * 128, 0, 127)
-            g = _ta(x[:, t * 128 : (t + 1) * 128], loc)
-            hit = (idx_o >= t * 128) & (idx_o < (t + 1) * 128)
-            acc = acc + jnp.where(hit, g, 0.0)
-        outs.append(acc)
-    return jnp.concatenate(outs, axis=1)
 
 
 def _solve_level(px, py, pz, irp, irv, imc, dt, dev_c, vol_c, gamma, C):
@@ -282,7 +246,7 @@ class FusedGSBody:
         density: float = 1000.0,
         coloring: str = "greedy",
         schedule: Optional[VmemSchedule] = None,
-        interpret: bool = False,
+        interpret: bool | None = None,
         jitter: float = 0.0,
         seed: int = 0,
     ):
@@ -329,6 +293,12 @@ class FusedGSBody:
         # pad the batch to a whole number of blocks
         self.B = (num_bodies + self.B_blk - 1) // self.B_blk * self.B_blk
         self.num_bodies = num_bodies
+        # None -> auto: Pallas interpret mode off-TPU so the World-level
+        # API works on any backend (same policy as kernels/polar_stencil)
+        if interpret is None:
+            import jax as _jax
+
+            interpret = _jax.default_backend() != "tpu"
         self.interpret = interpret
         s = self.sched
         self._ids = jnp.asarray(np.repeat(s.ids[:, None, :], 8, axis=1))

@@ -46,36 +46,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _ta(x, idx):
-    """take_along_axis along lanes — lowers to tpu.dynamic_gather."""
-    return jnp.take_along_axis(x, idx, axis=1, mode="promise_in_bounds")
-
-
-def _ta_tiled(x, idx, tiles):
-    """Lane-gather with distinct source/output lengths, per-128-lane-vreg.
-
-    ``x`` [B, Rs] source planes, ``idx`` [B, Ro] lane indices into Rs,
-    ``tiles[o]`` = the statically-known source tiles referenced by output
-    tile o (host-precomputed).  Mosaic's dynamic_gather handles one source
-    vreg along the gather dim, so each output tile gathers from each of its
-    source tiles and masks the results together."""
-    b, ro = idx.shape
-    outs = []
-    for o in range(ro // 128):
-        idx_o = idx[:, o * 128 : (o + 1) * 128]
-        src = tiles[o]
-        if len(src) == 1:
-            t = src[0]
-            outs.append(_ta(x[:, t * 128 : (t + 1) * 128], idx_o - t * 128))
-            continue
-        acc = jnp.zeros((b, 128), x.dtype)
-        for t in src:
-            loc = jnp.clip(idx_o - t * 128, 0, 127)
-            g = _ta(x[:, t * 128 : (t + 1) * 128], loc)
-            hit = (idx_o >= t * 128) & (idx_o < (t + 1) * 128)
-            acc = acc + jnp.where(hit, g, 0.0)
-        outs.append(acc)
-    return jnp.concatenate(outs, axis=1)
+from .schedule import ta_tiled as _ta_tiled  # shared lane-gather helper
 
 
 # ---------------------------------------------------------------------------
@@ -146,7 +117,7 @@ def build_polar_schedule(
     movw = np.zeros((1, rp), np.float32)
     movw[0, :n] = (im > 0.0).astype(np.float32)
 
-    def tile_lists(table, n_src_tiles):
+    def tile_lists(table):
         out = []
         for row in table:
             vals = np.maximum(row, 0)
@@ -170,8 +141,8 @@ def build_polar_schedule(
         rp=rp,
         rt=rt,
         valence=kmax,
-        gather_tiles=tile_lists(ids4, rp // 128),
-        scatter_tiles=tile_lists(inc, 4 * rt // 128),
+        gather_tiles=tile_lists(ids4),
+        scatter_tiles=tile_lists(inc),
         verts=mesh.verts.astype(np.float32),
     )
 
@@ -377,7 +348,7 @@ class FusedPolarBody:
         num_bodies: int = 8,
         density: float = 1000.0,
         schedule: Optional[PolarSchedule] = None,
-        interpret: bool = False,
+        interpret: bool | None = None,
         jitter: float = 0.0,
         seed: int = 0,
         pinned=None,
@@ -419,6 +390,12 @@ class FusedPolarBody:
         )
         self.B = (num_bodies + self.B_blk - 1) // self.B_blk * self.B_blk
         self.num_bodies = num_bodies
+        # None -> auto: Pallas interpret mode off-TPU so the World-level
+        # API works on any backend (same policy as kernels/polar_stencil)
+        if interpret is None:
+            import jax as _jax
+
+            interpret = _jax.default_backend() != "tpu"
         self.interpret = interpret
         self._ids = jnp.asarray(s.ids)
         self._inc = jnp.asarray(s.inc)

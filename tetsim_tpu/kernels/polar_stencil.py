@@ -287,15 +287,21 @@ def _make_kernel(geom: _Geometry, corner_slab, rest_centered, interpret,
     return kernel
 
 
-@functools.lru_cache(maxsize=8)
-def _make_call_acc(dims, slab_offsets, corner_slab, rest_centered,
-                   rest_volume, interpret: bool):
-    """Accumulate-only pallas_call for the sharded path: outputs the
-    predicted positions, new quats, and the UNAPPLIED accumulator planes
-    (halo exchange + apply happen outside, see make_grid_sharded_stepper)."""
+@functools.lru_cache(maxsize=16)
+def _build_call(dims, slab_offsets, corner_slab, rest_centered, rest_volume,
+                interpret: bool, epilogue: bool):
+    """Build the per-substep pallas_call + packed static mask for `dims`.
+
+    ``epilogue=True`` (single-chip form): accumulators are scratch, the
+    kernel applies them and returns finalized positions.
+    ``epilogue=False`` (sharded form): the kernel stops after accumulation
+    and RETURNS the predicted positions, new quats, and the unapplied
+    accumulator planes (halo exchange + apply happen outside, see
+    make_grid_sharded_stepper).
+    """
     geom = _Geometry(dims, slab_offsets, rest_volume)
     kernel = _make_kernel(
-        geom, corner_slab, rest_centered, interpret, epilogue=False
+        geom, corner_slab, rest_centered, interpret, epilogue=epilogue
     )
     rows, rb, nb, qrows = geom.rows, geom.rb, geom.nb, geom.qrows
 
@@ -309,55 +315,19 @@ def _make_call_acc(dims, slab_offsets, corner_slab, rest_centered,
         (rb, _LANES), lambda b: (b, 0), memory_space=pltpu.VMEM
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    plane = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    qshape = jax.ShapeDtypeStruct((24, qrows, _LANES), jnp.float32)
 
+    n_acc_out = 0 if epilogue else 3
     call = pl.pallas_call(
         kernel,
         grid=(nb,),
-        out_shape=[jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)] * 3
-        + [jax.ShapeDtypeStruct((24, qrows, _LANES), jnp.float32)]
-        + [jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)] * 3,
+        out_shape=[plane] * 3 + [qshape] + [plane] * n_acc_out,
         in_specs=[smem, smem] + [full] * 8 + [wblock, qblock],
-        out_specs=[full, full, full, qblock, full, full, full],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100_000_000,  # soft cap unlock (BENCHNOTES)
+        out_specs=[full, full, full, qblock] + [full] * n_acc_out,
+        scratch_shapes=(
+            [pltpu.VMEM((rows, _LANES), jnp.float32)] * 3 if epilogue else []
         ),
-        interpret=interpret,
-    )
-    return geom, call, geom.wmask(rest_volume)
-
-
-@functools.lru_cache(maxsize=8)
-def _make_call(dims, slab_offsets, corner_slab, rest_centered, rest_volume,
-               interpret: bool):
-    """Build the per-substep pallas_call + packed static mask for `dims`."""
-    geom = _Geometry(dims, slab_offsets, rest_volume)
-    kernel = _make_kernel(geom, corner_slab, rest_centered, interpret)
-    rows, rb, nb, qrows = geom.rows, geom.rb, geom.nb, geom.qrows
-
-    full = pl.BlockSpec(
-        (rows, _LANES), lambda b: (0, 0), memory_space=pltpu.VMEM
-    )
-    qblock = pl.BlockSpec(
-        (24, rb, _LANES), lambda b: (0, b, 0), memory_space=pltpu.VMEM
-    )
-    wblock = pl.BlockSpec(
-        (rb, _LANES), lambda b: (b, 0), memory_space=pltpu.VMEM
-    )
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-
-    call = pl.pallas_call(
-        kernel,
-        grid=(nb,),
-        out_shape=[
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((24, qrows, _LANES), jnp.float32),
-        ],
-        in_specs=[smem, smem] + [full] * 8 + [wblock, qblock],
-        out_specs=[full, full, full, qblock],
-        scratch_shapes=[pltpu.VMEM((rows, _LANES), jnp.float32)] * 3,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100_000_000,  # soft cap unlock (BENCHNOTES)
@@ -368,6 +338,14 @@ def _make_call(dims, slab_offsets, corner_slab, rest_centered, rest_volume,
     # inside whatever trace first called us and leak its tracer into later
     # traces through the lru_cache
     return geom, call, geom.wmask(rest_volume)
+
+
+def _make_call(*key):
+    return _build_call(*key, True)
+
+
+def _make_call_acc(*key):
+    return _build_call(*key, False)
 
 
 def _geometry_key(arr: GridArrays):

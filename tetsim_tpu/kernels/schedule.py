@@ -22,8 +22,46 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
+import jax.numpy as jnp
 
 from ..mesh import TetMesh, color_slots, greedy_color, level_schedule, rest_state
+
+
+def ta(x, idx):
+    """take_along_axis along lanes — lowers to tpu.dynamic_gather."""
+    return jnp.take_along_axis(x, idx, axis=1, mode="promise_in_bounds")
+
+
+def ta_tiled(x, idx, tiles):
+    """Lane-gather decomposed per 128-lane vreg (source and output lengths
+    may differ).
+
+    ``x`` [B, Rs] source planes, ``idx`` [B, Ro] lane indices into Rs,
+    ``tiles[o]`` = the statically-known source tiles referenced by output
+    tile o (host-precomputed — the fused kernels sort their tables so most
+    output tiles touch 1-2 source tiles).  Mosaic's ``tpu.dynamic_gather``
+    handles one source vreg along the gather dimension ("Multiple source
+    vregs along gather dimension" otherwise), so each output tile gathers
+    from each of its source tiles and masks the results together."""
+    b, ro = idx.shape
+    outs = []
+    for o in range(ro // 128):
+        idx_o = idx[:, o * 128 : (o + 1) * 128]
+        src = tiles[o]
+        if len(src) == 1:
+            t = src[0]
+            outs.append(ta(x[:, t * 128 : (t + 1) * 128], idx_o - t * 128))
+            continue
+        acc = jnp.zeros((b, 128), x.dtype)
+        for t in src:
+            loc = jnp.clip(idx_o - t * 128, 0, 127)
+            g = ta(x[:, t * 128 : (t + 1) * 128], loc)
+            hit = (idx_o >= t * 128) & (idx_o < (t + 1) * 128)
+            acc = acc + jnp.where(hit, g, 0.0)
+        outs.append(acc)
+    if len(outs) == 1:
+        return outs[0]
+    return jnp.concatenate(outs, axis=1)
 
 
 def _round_up(x: int, m: int) -> int:

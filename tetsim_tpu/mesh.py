@@ -611,11 +611,4 @@ def load_tetgen(node_path: str, ele_path: str) -> TetMesh:
     neg = np.linalg.det(d) < 0
     tets[neg] = tets[neg][:, [0, 2, 1, 3]]
 
-    corners = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
-    edges = np.unique(
-        np.sort(
-            np.concatenate([tets[:, list(c)] for c in corners], axis=0), axis=1
-        ),
-        axis=0,
-    ).astype(np.int32)
-    return TetMesh(verts=verts, tets=tets, edges=edges)
+    return TetMesh(verts=verts, tets=tets, edges=_derive_edges(tets))
