@@ -71,11 +71,16 @@ def _bench_fused(mesh, params):
     k1, k2 = 100, 1100  # wide spread: per-frame ~0.5 ms vs ~35 ms round trip
 
     def timed(K, reps=3):
-        t0 = time.perf_counter()
+        # min-of-reps: the tunneled device's per-call latency is noisy
+        # (BENCHNOTES: unchanged kernels read 13.6k-24.2k/s across runs);
+        # the minimum is the standard latency estimator under such noise
+        best = float("inf")
         for _ in range(reps):
+            t0 = time.perf_counter()
             body.step(params, frames=K)
             chk = float(np.asarray(body.state).sum())
-        return (time.perf_counter() - t0) / reps, chk
+            best = min(best, time.perf_counter() - t0)
+        return best, chk
 
     timed(k1, reps=1)  # compile k-independent program once
     t1, _ = timed(k1)
@@ -145,15 +150,17 @@ def _bench_scale_1m():
     run1, run2 = runner(k1), runner(k2)
 
     def timed(run, reps=2):
-        t0 = time.perf_counter()
+        best = float("inf")
         for _ in range(reps):
+            t0 = time.perf_counter()
             chk = float(jax.tree.leaves(run(packed0))[0].sum())
+            best = min(best, time.perf_counter() - t0)
         assert np.isfinite(chk)
-        return (time.perf_counter() - t0) / reps
+        return best
 
     timed(run1, reps=1)
     timed(run2, reps=1)
-    per_substep = (timed(run2) - timed(run1)) / (k2 - k1)
+    per_substep = (timed(run2, 3) - timed(run1, 3)) / (k2 - k1)
     print(f"scale: 1M-tet stencil {per_substep*1e3:.3f} ms/substep",
           file=sys.stderr, flush=True)
     return per_substep
