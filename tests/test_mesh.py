@@ -185,3 +185,45 @@ def test_ellipsoid_simulates_on_both_engines():
         pos = np.asarray(s.pos)
         assert np.isfinite(pos).all()
         assert pos[:, 1].min() >= -1e-5  # resting on / above the floor
+
+
+def test_boundary_surface():
+    """with_boundary_surface: closed 2-manifold, exact skinning."""
+    from tetsim_tpu.mesh import with_boundary_surface
+
+    m = with_boundary_surface(ts.grid_mesh(3, 2, 4, cell=0.25))
+    assert m.vis_tet_ids is not None and m.tris is not None
+    V, F = m.num_surface_verts, m.tris.shape[0]
+    E = len(np.unique(np.sort(np.concatenate(
+        [m.tris[:, [0, 1]], m.tris[:, [1, 2]], m.tris[:, [2, 0]]]), axis=1),
+        axis=0))
+    assert V - E + F == 2  # closed surface (Euler characteristic)
+    # skinned surface verts coincide exactly with boundary particles
+    from tetsim_tpu.world import _Surface
+    s = _Surface(m)
+    verts = np.asarray(jax.numpy.sum(
+        jax.numpy.asarray(m.verts)[s.skin_ids] * s.skin_w[..., None], axis=-2
+    ))
+    d = np.abs(verts[:, None, :] - m.verts[None, :, :]).sum(-1).min(1)
+    assert d.max() == 0.0
+    # outward winding: mean normal dot (vert - center) > 0
+    c = m.verts.mean(0)
+    p0 = verts[m.tris[:, 0]]; p1 = verts[m.tris[:, 1]]; p2 = verts[m.tris[:, 2]]
+    n = np.cross(p1 - p0, p2 - p0)
+    outward = np.einsum("ij,ij->i", n, (p0 + p1 + p2) / 3 - c)
+    assert (outward > 0).mean() > 0.99
+
+
+def test_surfaced_grid_body_in_world_and_viewer():
+    from tetsim_tpu.viewer.server import _View
+
+    w = ts.World(params=ts.PhysicsParams(num_substeps=2))
+    b = w.add_grid_body((2, 2, 3), cell=0.25, origin=(0.0, 0.5, 0.0),
+                        engine="polar_grid_pallas", packed=True,
+                        with_surface=True)
+    assert b._surface is not None
+    w.step()
+    view = _View(b)
+    assert view.n_vis > 0 and view.n_tris > 0
+    v, n = view.surface_data(view.pos_device())
+    assert v.shape == (view.n_vis, 3) and np.isfinite(v).all()

@@ -10,7 +10,7 @@ from .params import PhysicsParams, default_cpu_params, default_gpu_params
 from .state import SimState, Controls, init_state
 from .mesh import (
     TetMesh, TetArrays, load_dragon, grid_mesh, masked_grid_mesh,
-    ellipsoid_mesh, build_arrays,
+    ellipsoid_mesh, with_boundary_surface, build_arrays,
     replicate_mesh, load_npz, save_npz, load_tetgen,
 )
 from .solvers import get_engine
@@ -30,6 +30,7 @@ __all__ = [
     "grid_mesh",
     "masked_grid_mesh",
     "ellipsoid_mesh",
+    "with_boundary_surface",
     "build_arrays",
     "replicate_mesh",
     "load_npz",

@@ -488,6 +488,59 @@ def ellipsoid_mesh(
     )
 
 
+def with_boundary_surface(mesh: TetMesh) -> TetMesh:
+    """Attach the mesh's own boundary triangles as its render surface.
+
+    Generated meshes (grid_mesh, masked_grid_mesh, TetGen imports) have no
+    embedded visual mesh like the dragon's 29,800-vert skin
+    (Dragon.js:1705); this derives one from the tet boundary so they render
+    as shaded deformable surfaces in the viewer.  Each surface vertex IS a
+    boundary particle: its skinning weight is 1 at one corner of an
+    incident tet, so the standard barycentric pipeline (Softbody.js:259-273)
+    applies unchanged.  Faces are wound outward (normal away from the
+    owning tet's centroid)."""
+    tets = mesh.tets
+    # faces opposite each corner; count==1 across the mesh => boundary
+    face_corners = [(1, 2, 3), (0, 3, 2), (0, 1, 3), (0, 2, 1)]
+    faces = np.concatenate([tets[:, list(c)] for c in face_corners], axis=0)
+    owner = np.tile(np.arange(tets.shape[0], dtype=np.int64), 4)
+    key = np.sort(faces, axis=1)
+    _, first, counts = np.unique(
+        key, axis=0, return_index=True, return_counts=True
+    )
+    sel = first[counts == 1]
+    bfaces = faces[sel]
+    bowner = owner[sel]
+
+    # outward winding: flip faces whose normal points toward the owner
+    # tet's centroid
+    v = mesh.verts
+    tc = v[tets[bowner]].mean(axis=1)
+    p0, p1, p2 = v[bfaces[:, 0]], v[bfaces[:, 1]], v[bfaces[:, 2]]
+    n = np.cross(p1 - p0, p2 - p0)
+    inward = np.einsum("ij,ij->i", n, (p0 + p1 + p2) / 3.0 - tc) < 0.0
+    bfaces[inward] = bfaces[inward][:, [0, 2, 1]]
+
+    # surface verts = unique boundary particles; skin = corner indicator
+    surf_pids, tri_idx = np.unique(bfaces, return_inverse=True)
+    tris = tri_idx.reshape(bfaces.shape).astype(np.int32)
+    # one incident tet + corner per surface particle
+    tet_of = np.full(mesh.num_particles, -1, np.int64)
+    corner_of = np.zeros(mesh.num_particles, np.int64)
+    for k in range(4):
+        col = tets[:, k]
+        tet_of[col] = np.arange(tets.shape[0])
+        corner_of[col] = k
+    vis_tet_ids = tet_of[surf_pids].astype(np.int32)
+    cb = corner_of[surf_pids]
+    # bary (b0,b1,b2) with b3 = 1-b0-b1-b2: indicator of the corner
+    vis_bary = np.zeros((len(surf_pids), 3), np.float32)
+    vis_bary[cb < 3, cb[cb < 3]] = 1.0  # corner 3 -> all zeros
+    return dataclasses.replace(
+        mesh, vis_tet_ids=vis_tet_ids, vis_bary=vis_bary, tris=tris
+    )
+
+
 def replicate_mesh(
     mesh: TetMesh, n: int, jitter: float = 0.0, seed: int = 0
 ) -> TetMesh:

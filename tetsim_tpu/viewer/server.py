@@ -549,7 +549,7 @@ def main():
             dims, cell=args.cell,
             origin=(-dims[0] * args.cell / 2, ext * 0.75,
                     -dims[2] * args.cell / 2),
-            engine="polar_grid_pallas", packed=True, with_edges=True,
+            engine="polar_grid_pallas", packed=True, with_surface=True,
         )
     elif args.bodies > 1:
         world.add_body_batch(

@@ -266,8 +266,13 @@ class PackedGridBody:
         self._packed0 = self._packed
         self.controls = Controls.none()
         self.last_diag = None
-        self._surface = None  # grid_mesh has no embedded render surface
-        self._skin_ids = None
+        if mesh.vis_tet_ids is not None:  # e.g. with_boundary_surface
+            self._surface = _Surface(mesh)
+            self._skin_ids = self._surface.skin_ids
+            self._skin_w = self._surface.skin_w
+        else:
+            self._surface = None
+            self._skin_ids = None
 
     def step(self, params: PhysicsParams):
         if float(params.dt) != float(self._params.dt):
@@ -549,6 +554,7 @@ class World:
         with_edges: bool = False,
         engine: str = "polar_grid",
         packed: bool = False,
+        with_surface: bool = False,
     ):
         """Add a grid_mesh box running the stencil scale engine
         (solvers/polar_grid.py, or its fused Pallas form with
@@ -567,6 +573,10 @@ class World:
             )
         d = float(self.params.density) if density is None else density
         mesh = grid_mesh(*dims, cell=cell, origin=origin, with_edges=with_edges)
+        if with_surface:
+            from .mesh import with_boundary_surface
+
+            mesh = with_boundary_surface(mesh)
         arrays = build_grid_arrays(mesh, tuple(dims), density=d, pinned=pinned)
         if packed:
             if engine != "polar_grid_pallas":
