@@ -136,14 +136,16 @@ class _View:
         if self.kind == "batched":
             return self.body.states.pos
         b = self.body
-        if hasattr(b, "sched"):  # FusedGSBody: SoA planes [9, B, R]
-            n = b.sched.num_particles
-            st = b.state
-            return jnp.stack(
-                [st[c, : b.num_bodies, :n] for c in range(3)], axis=-1
-            ).reshape(-1, 3)
-        # DenseBody: [N, 3, B] column batch
-        return jnp.moveaxis(b.state.pos, -1, 0).reshape(-1, 3)
+        from ..world import DenseBody
+
+        if isinstance(b, DenseBody):  # [N, 3, B] column batch
+            return jnp.moveaxis(b.state.pos, -1, 0).reshape(-1, 3)
+        # FusedGSBody / FusedPolarBody: SoA planes [9, B, R]
+        n = b.sched.num_particles
+        st = b.state
+        return jnp.stack(
+            [st[c, : b.num_bodies, :n] for c in range(3)], axis=-1
+        ).reshape(-1, 3)
 
     def surface_data(self, pos):
         """(verts, normals) numpy [n_vis,3] — empty when no surface."""
