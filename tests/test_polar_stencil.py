@@ -281,3 +281,27 @@ def test_sharded_pallas_rejects_uneven_split():
     garr = build_grid_arrays(ts.grid_mesh(*dims, cell=0.2), dims)
     with pytest.raises(ValueError, match="divide evenly"):
         make_grid_sharded_stepper(Mesh(np.array(devs[:8]), ("x",)), garr)
+
+
+def test_packed_grid_body_checkpoint_roundtrip(tmp_path):
+    """PackedGridBody state survives save/load through the standard
+    checkpoint module (the packed layout converts at the I/O boundary)."""
+    from tetsim_tpu import checkpoint
+
+    kw = dict(cell=0.25, origin=(0.0, 0.5, 0.0),
+              engine="polar_grid_pallas", packed=True)
+    w1 = ts.World(params=ts.PhysicsParams(num_substeps=2))
+    b1 = w1.add_grid_body((2, 2, 3), **kw)
+    w1.step(3)
+    path = str(tmp_path / "packed.npz")
+    checkpoint.save(path, b1.state, mesh=b1.mesh, engine=b1.engine)
+
+    w2 = ts.World(params=ts.PhysicsParams(num_substeps=2))
+    b2 = w2.add_grid_body((2, 2, 3), **kw)
+    b2.state = checkpoint.load(path, like=b2.state, mesh=b2.mesh,
+                               engine=b2.engine)
+    np.testing.assert_allclose(b2.positions, b1.positions, atol=1e-6)
+    # both continue identically after resume
+    w1.step(2)
+    w2.step(2)
+    np.testing.assert_allclose(b2.positions, b1.positions, atol=1e-5)
