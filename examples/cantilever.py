@@ -11,10 +11,8 @@ mesh generator; Dragon.js is its only asset).
 """
 import argparse
 import os
-import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 if os.environ.get("TETSIM_PLATFORM"):
     import jax

@@ -7,10 +7,8 @@ viewer.
 """
 import argparse
 import os
-import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 if os.environ.get("TETSIM_PLATFORM"):
     import jax

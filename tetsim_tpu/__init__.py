@@ -15,7 +15,7 @@ from .mesh import (
 )
 from .solvers import get_engine
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "PhysicsParams",

@@ -91,7 +91,12 @@ def _grid_volume_error(state: SimState, garr):
     reconstruct per-type corner views from the static stencil structure).
 
     Runs jitted on device: at the 1M-tet config the previous host-side
-    float64 pass copied the full position grid and took seconds per call."""
+    float64 pass copied the full position grid and took seconds per call.
+    Precision note: determinants and the ~6M-term sum run in f32 (TPU has
+    no native f64); XLA reduces with a tree, so accumulation error is
+    O(log n) ulps, adequate for a diagnostic.  Tests that threshold this
+    value keep tolerances >= 1e-1 (see tests/test_polar_grid.py) — do not
+    tighten them to f64-oracle levels."""
     nx, ny, nz = garr.dims
     gy, gz = ny + 1, nz + 1
     pos = state.pos.reshape(nx + 1, gy, gz, 3)
@@ -134,5 +139,9 @@ def summarize(state: SimState, arr, frame_diag=None) -> dict:
             "nan": bool(jnp.isnan(state.pos).any()),
         }
     if frame_diag is not None:
-        out["solver_vol_error"] = float(np.asarray(frame_diag)[-1])
+        sve = float(np.asarray(frame_diag)[-1])
+        # Engines that don't measure per-substep volume error report NaN
+        # (e.g. the fused stencil kernel); omit rather than show a bogus 0.
+        if np.isfinite(sve):
+            out["solver_vol_error"] = sve
     return out

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .schedule import VmemSchedule, build_vmem_schedule
+from .schedule import VmemSchedule, build_vmem_schedule, vmem_budget_bytes
 from .schedule import ta_tiled as _ta_tiled  # shared lane-gather helper
 from ..params import PhysicsParams
 
@@ -277,11 +277,14 @@ class FusedGSBody:
             return tables + 4 * b * s0.R * (60 + 2 * 9)
 
         b_pad = (num_bodies + 7) // 8 * 8
-        feasible = [blk for blk in (8, 16, 32) if est(blk) <= 96_000_000]
+        budget, self._vmem_limit = vmem_budget_bytes()
+        feasible = [blk for blk in (8, 16, 32) if est(blk) <= budget]
         if not feasible:
             raise ValueError(
                 f"fused kernel VMEM estimate {est(8)/1e6:.1f} MB exceeds the "
-                f"96 MB budget even at an 8-body block (R={s0.R}, "
+                f"{budget/1e6:.0f} MB budget (derived from the local device "
+                "kind; see kernels.schedule.vmem_budget_bytes) even at an "
+                f"8-body block (R={s0.R}, "
                 f"L={s0.L}) — the mesh is too large for the VMEM-resident "
                 "kernel; use the XLA engines or polar_grid"
             )
@@ -387,7 +390,7 @@ class FusedGSBody:
             ),
             input_output_aliases={3: 0},  # state buffer reused as output
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100_000_000,
+                vmem_limit_bytes=self._vmem_limit,
             ),
             interpret=interpret,
         )(par, gid, gpos, state, self._ids, self._inv, self._irp, self._irv, self._imc)

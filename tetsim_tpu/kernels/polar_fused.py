@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..params import PhysicsParams
 from ..mesh import TetMesh, rest_state
 from ..solvers.polar_grid import _extract_rotation, _qmul
+from .schedule import vmem_budget_bytes
 
 
 def _round_up(x: int, m: int) -> int:
@@ -376,11 +377,14 @@ class FusedPolarBody:
             )
 
         b_pad = (num_bodies + 7) // 8 * 8
-        feasible = [blk for blk in (8, 16, 32) if est(blk) <= 96_000_000]
+        budget, self._vmem_limit = vmem_budget_bytes()
+        feasible = [blk for blk in (8, 16, 32) if est(blk) <= budget]
         if not feasible:
             raise ValueError(
                 f"fused polar kernel VMEM estimate {est(8)/1e6:.1f} MB "
-                f"exceeds budget at an 8-body block (Rp={s.rp}, Rt={s.rt}, "
+                f"exceeds the {budget/1e6:.0f} MB budget (derived from the "
+                "local device kind; see kernels.schedule.vmem_budget_bytes) "
+                f"at an 8-body block (Rp={s.rp}, Rt={s.rt}, "
                 f"valence={s.valence}) — use the XLA polar engine or "
                 "polar_grid for this mesh"
             )
@@ -492,7 +496,7 @@ class FusedPolarBody:
             ],
             input_output_aliases={3: 0, 4: 1},
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100_000_000,
+                vmem_limit_bytes=self._vmem_limit,
             ),
             interpret=interpret,
         )(

@@ -54,6 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..params import PhysicsParams
 from ..state import SimState, Controls
+from .schedule import vmem_budget_bytes
 from ..solvers.polar_grid import (
     GridArrays,
     _EPS,
@@ -330,7 +331,8 @@ def _build_call(dims, slab_offsets, corner_slab, rest_centered, rest_volume,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100_000_000,  # soft cap unlock (BENCHNOTES)
+            # soft-cap unlock (BENCHNOTES); derived from device kind
+            vmem_limit_bytes=vmem_budget_bytes()[1],
         ),
         interpret=interpret,
     )
@@ -406,8 +408,11 @@ def step_frame(
     del axis_name
     pack, step, unpack, _ = make_frame_stepper(arr, interpret)
     packed = step(pack(state, params), params, controls)
-    return unpack(packed, params), jnp.zeros(
-        (params.num_substeps,), jnp.float32
+    # The fused kernel does not compute per-substep solver volume error
+    # (that would cost an extra reduction per substep); report NaN rather
+    # than a fabricated 0.0 so diag.summarize can omit it.
+    return unpack(packed, params), jnp.full(
+        (params.num_substeps,), jnp.nan, jnp.float32
     )
 
 

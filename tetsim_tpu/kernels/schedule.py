@@ -27,6 +27,33 @@ import jax.numpy as jnp
 from ..mesh import TetMesh, color_slots, greedy_color, level_schedule, rest_state
 
 
+def vmem_budget_bytes() -> tuple[int, int]:
+    """(usable budget, vmem_limit_bytes) for the fused VMEM kernels.
+
+    The Pallas default scoped limit (16 MB) is a SOFT cap; v5e's physical
+    VMEM is 128 MB and a 100 MB limit is measured to compile and run
+    (BENCHNOTES "VMEM soft-limit unlock").  v4/v5p/v6e have >=128 MB VMEM
+    as well, so they get the same budget.  Unknown or older TPU
+    generations (and non-TPU backends, where the kernels run in interpret
+    mode and VMEM is irrelevant) fall back to a conservative 14 MB budget
+    under the 16 MB default so sizing failures happen at build time with
+    an actionable error, not as an opaque Mosaic allocation failure.
+    """
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        kind = ""
+    if "tpu" not in kind:
+        # interpret mode — no real VMEM; use the v5e budget so block
+        # sizing matches hardware behavior in hermetic tests
+        return 96_000_000, 100_000_000
+    if any(t in kind for t in ("v5 lite", "v5e", "v5p", "v5", "v4", "v6")):
+        return 96_000_000, 100_000_000
+    return 14_000_000, 16_000_000
+
+
 def ta(x, idx):
     """take_along_axis along lanes — lowers to tpu.dynamic_gather."""
     return jnp.take_along_axis(x, idx, axis=1, mode="promise_in_bounds")

@@ -545,7 +545,15 @@ def main():
         params = params.replace(num_substeps=args.substeps)
     world = World(params)
     if args.grid:
-        dims = tuple(int(x) for x in args.grid.split(","))
+        try:
+            dims = tuple(int(x) for x in args.grid.split(","))
+        except ValueError:
+            ap.error(f"--grid expects NX,NY,NZ integers, got {args.grid!r}")
+        if len(dims) != 3 or any(d < 1 for d in dims):
+            ap.error(
+                f"--grid expects exactly three positive integers NX,NY,NZ "
+                f"(e.g. 32,32,32), got {args.grid!r}"
+            )
         ext = max(dims) * args.cell
         world.add_grid_body(
             dims, cell=args.cell,
