@@ -36,6 +36,10 @@ def main():
         from tetsim_tpu.solvers.polar_grid import build_grid_arrays
 
         arr = build_grid_arrays(mesh, (n, n, n))
+    elif engine == "neohookean_grid":
+        from tetsim_tpu.solvers.neohookean_grid import build_nh_grid_arrays
+
+        arr = build_nh_grid_arrays(mesh, (n, n, n))
     else:
         coloring = None if engine == "polar" else "greedy"
         arr = ts.build_arrays(mesh, coloring=coloring)
@@ -90,7 +94,11 @@ def main():
 
     # pick the two-point spread by engine speed: fast engines need a wide
     # spread so the per-frame delta dominates round-trip jitter
-    k1, k2 = (50, 400) if engine.startswith("polar_grid") else (3, 15)
+    k1, k2 = (
+        (50, 400) if engine.startswith("polar_grid")
+        else (20, 120) if engine == "neohookean_grid"
+        else (3, 15)
+    )
     run1, run2 = make_runner(k1), make_runner(k2)
     t0 = time.perf_counter()
     timed(run1, state, reps=1)

@@ -91,10 +91,36 @@ def _two_point_rate(run1, run2, k1, k2, state):
     return (t2 - t1) / (k2 - k1)
 
 
+def _xla_engine_frame_time(engine, coloring, dragon, params, k1=10, k2=40):
+    """Per-frame time of an XLA engine on the dragon, two-point fit."""
+    arr = ts.build_arrays(dragon, coloring=coloring)
+    step = get_engine(engine).step_frame
+    controls = ts.Controls.none()
+
+    def runner(frames):
+        @jax.jit
+        def run(st):
+            def body(s, _):
+                s, _ = step(s, arr, params, controls)
+                return s, None
+
+            s, _ = jax.lax.scan(body, st, None, length=frames)
+            return s
+
+        return run
+
+    return _two_point_rate(
+        runner(k1), runner(k2), k1, k2, ts.init_state(dragon)
+    )
+
+
 def test_fused_dragon_rate_floor(dragon):
-    """The benched number's sanity floor: >5k substeps/s on the fused path
-    (measured 10.5-23k across sessions; 5k catches a 2x+ regression
-    without flaking on cache-cold Mosaic compiles)."""
+    """RATIO floor (VERDICT r2 weak #3): the fused VMEM kernel must beat the
+    XLA neohookean engine by >=3x per frame, measured in the SAME session —
+    immune to the relay's ~2.4x ambient variance, unlike an absolute floor
+    (the fused/XLA ratio measures 4-10x; a halving regression fails).
+    A loose absolute backstop (>2k substeps/s/body) catches the case where
+    both paths break together."""
     from tetsim_tpu.kernels import FusedGSBody
 
     params = ts.PhysicsParams(num_substeps=5)
@@ -110,9 +136,16 @@ def test_fused_dragon_rate_floor(dragon):
     timed(k1)  # compile + warm
     timed(k2)
     t1, t2 = timed(k1), timed(k2)
-    per_frame = (t2 - t1) / (k2 - k1)
-    rate = params.num_substeps / per_frame
-    assert rate > 5000, f"fused dragon rate regressed: {rate:.0f} substeps/s"
+    fused_per_frame = (t2 - t1) / (k2 - k1)
+    rate = params.num_substeps / fused_per_frame
+    assert rate > 2000, f"fused dragon rate broke: {rate:.0f} substeps/s"
+
+    xla_per_frame = _xla_engine_frame_time("neohookean", "greedy", dragon, params)
+    ratio = xla_per_frame / fused_per_frame
+    assert ratio > 3.0, (
+        f"fused GS kernel only {ratio:.2f}x the XLA engine "
+        f"({fused_per_frame*1e3:.3f} vs {xla_per_frame*1e3:.3f} ms/frame)"
+    )
 
 
 def test_polar_grid_rate_floor():
@@ -212,8 +245,35 @@ def test_polar_stencil_packed_rate_floor():
     timed(run2)
     t1, t2 = timed(run1), timed(run2)
     per_substep = (t2 - t1) / (k2 - k1)
-    assert per_substep < 2e-3, (
-        f"1M-tet fused stencil substep regressed: {per_substep*1e3:.3f} ms"
+    assert per_substep < 4e-3, (
+        f"1M-tet fused stencil substep broke: {per_substep*1e3:.3f} ms"
+    )
+
+    # RATIO floor (VERDICT r2 weak #3): fused kernel >= 2.5x the XLA
+    # stencil engine measured in the same session (measures ~3.7x;
+    # variance-immune — a halving regression fails the lane)
+    xstep = get_engine("polar_grid").step_frame
+
+    def xrunner(frames):
+        @jax.jit
+        def run(st):
+            def body(s, _):
+                s, _ = xstep(s, garr, params, controls)
+                return s, None
+
+            s, _ = jax.lax.scan(body, st, None, length=frames)
+            return s
+
+        return run
+
+    xk1, xk2 = 20, 120
+    xla_per_substep = _two_point_rate(
+        xrunner(xk1), xrunner(xk2), xk1, xk2, ts.init_state(mesh)
+    )
+    ratio = xla_per_substep / per_substep
+    assert ratio > 2.5, (
+        f"fused stencil kernel only {ratio:.2f}x the XLA stencil engine "
+        f"({per_substep*1e3:.3f} vs {xla_per_substep*1e3:.3f} ms/substep)"
     )
 
 
@@ -239,8 +299,9 @@ def test_fused_polar_matches_xla_on_hardware(dragon):
 
 
 def test_fused_polar_rate_floor(dragon):
-    """Fused polar dragon floor: >6k substeps/s/body (measured 14.4k;
-    6k catches a 2x regression and still beats the XLA engine's 5.4k)."""
+    """RATIO floor: fused polar kernel >= 1.8x the XLA polar engine per
+    frame, same session (measures ~2.7x; a 2x regression fails).  Loose
+    absolute backstop >3k substeps/s/body."""
     from tetsim_tpu.kernels.polar_fused import FusedPolarBody
 
     params = ts.PhysicsParams(num_substeps=20)
@@ -258,7 +319,67 @@ def test_fused_polar_rate_floor(dragon):
     t1, t2 = timed(k1), timed(k2)
     per_frame = (t2 - t1) / (k2 - k1)
     rate = params.num_substeps / per_frame
-    assert rate > 6000, f"fused polar rate regressed: {rate:.0f} substeps/s"
+    assert rate > 3000, f"fused polar rate broke: {rate:.0f} substeps/s"
+
+    xla_per_frame = _xla_engine_frame_time("polar", None, dragon, params)
+    ratio = xla_per_frame / per_frame
+    assert ratio > 1.8, (
+        f"fused polar kernel only {ratio:.2f}x the XLA engine "
+        f"({per_frame*1e3:.3f} vs {xla_per_frame*1e3:.3f} ms/frame)"
+    )
+
+
+def test_neohookean_grid_matches_generic_on_hardware():
+    """Structured 48-color GS stencil engine vs the generic XLA engine
+    running the identical grid coloring — real lowering, 10 frames."""
+    from tetsim_tpu.solvers import neohookean_grid as nhg
+
+    dims = (8, 8, 8)
+    mesh = ts.grid_mesh(*dims, cell=0.1, origin=(-0.4, 0.5, -0.4))
+    arr_g = ts.build_arrays(mesh, coloring=nhg.grid_coloring(dims))
+    arr_s = nhg.build_nh_grid_arrays(mesh, dims)
+    params = ts.PhysicsParams(num_substeps=5)
+    controls = ts.Controls.none()
+    step_g = jax.jit(get_engine("neohookean").step_frame)
+    step_s = jax.jit(nhg.step_frame)
+    sg, ss = ts.init_state(mesh), ts.init_state(mesh)
+    for _ in range(10):
+        sg, _ = step_g(sg, arr_g, params, controls)
+        ss, _ = step_s(ss, arr_s, params, controls)
+    np.testing.assert_allclose(sg.pos, ss.pos, atol=5e-5)
+
+
+def test_neohookean_grid_rate_floor():
+    """1M-tet Neo-Hookean GS floor: <16 ms/substep (VERDICT r2 item 4 'done'
+    criterion — down from the generic engine's 82 ms)."""
+    from tetsim_tpu.solvers.neohookean_grid import build_nh_grid_arrays
+
+    n = 56
+    mesh = ts.grid_mesh(n, n, n, cell=0.02, origin=(-0.56, 0.5, -0.56))
+    arr = build_nh_grid_arrays(mesh, (n, n, n))
+    params = ts.PhysicsParams(num_substeps=1)
+    step = get_engine("neohookean_grid").step_frame
+    controls = ts.Controls.none()
+
+    def runner(frames):
+        @jax.jit
+        def run(st):
+            def body(s, _):
+                s, _ = step(s, arr, params, controls)
+                return s, None
+
+            s, _ = jax.lax.scan(body, st, None, length=frames)
+            return s
+
+        return run
+
+    k1, k2 = 20, 120
+    per_frame = _two_point_rate(
+        runner(k1), runner(k2), k1, k2, ts.init_state(mesh)
+    )
+    assert per_frame < 16e-3, (
+        f"1M-tet neohookean_grid substep regressed: {per_frame*1e3:.2f} ms"
+    )
 
 
 def test_long_run_stability(dragon):

@@ -296,14 +296,25 @@ def build_arrays(
 
     coloring: "ordered" (level schedule, exact CPU-reference GS order),
     "greedy" (fewest colors, fastest — a different but equally valid
-    Gauss-Seidel constraint order), or None (no GS schedule; polar engine).
+    Gauss-Seidel constraint order), an explicit int32[M] per-tet color
+    array (e.g. ``solvers.neohookean_grid.grid_coloring`` — any valid
+    coloring where same-color tets share no vertex), or None (no GS
+    schedule; polar engine).
     incidence: build the polar scatter-as-gather tables (inc_idx/inc_den).
     Defaults to True only when no GS schedule is requested (a Neo-Hookean
     body never reads them; polar falls back to segment_sum without them).
     """
     ir, irv, vol, im, rc = rest_state(mesh, density, pinned=pinned)
     sched = (None, None, None, None, None, None)
-    if coloring == "ordered":
+    if isinstance(coloring, np.ndarray):
+        colors = np.asarray(coloring, np.int32)
+        if colors.shape != (mesh.num_tets,):
+            raise ValueError(
+                f"explicit coloring must be int32[{mesh.num_tets}], got "
+                f"shape {colors.shape}"
+            )
+        sched = build_schedule(colors, mesh.tets, ir, irv, mesh.num_particles, im)
+    elif coloring == "ordered":
         colors = level_schedule(mesh.tets, mesh.num_particles)
         sched = build_schedule(colors, mesh.tets, ir, irv, mesh.num_particles, im)
     elif coloring == "greedy":

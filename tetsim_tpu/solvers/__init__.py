@@ -11,12 +11,18 @@ reference's two-backend structure (SURVEY.md §1 L2):
     gather/scatter replaced by an 8-slab stencil (the TPU scale path)
   * ``polar_grid_pallas`` — the same stencil substep fused into ONE Pallas
     kernel per substep (kernels/polar_stencil.py) — the device-kernel form
+  * ``neohookean_grid`` — Neo-Hookean GS specialized to grid_mesh boxes:
+    48-color structured (type x cube-parity) coloring on parity-block
+    state — the reference-fidelity physics at the stencil scale path
   * ``golden``     — sequential NumPy oracle for parity tests
 """
-from . import common, golden, neohookean, polar, polar_grid  # noqa: F401
+from . import (  # noqa: F401
+    common, golden, neohookean, neohookean_grid, polar, polar_grid,
+)
 
 ENGINES = {
     "neohookean": neohookean,
+    "neohookean_grid": neohookean_grid,
     "polar": polar,
     "polar_grid": polar_grid,
 }

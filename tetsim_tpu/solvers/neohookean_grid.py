@@ -1,0 +1,496 @@
+"""Structured-grid Neo-Hookean Gauss-Seidel engine — the scale path for the
+reference-fidelity physics (Softbody.js:91-240 math) on grid_mesh boxes.
+
+The generic colored-GS engine (neohookean.py) is gather-bound at large tet
+counts: every level pays an HBM gather of its corner rows plus an inverse
+gather over all particles (~82 ms/substep at 1M tets, BENCHNOTES).  For
+``mesh.grid_mesh`` boxes the connectivity is regular, so — exactly as
+polar_grid does for the Jacobi engine — all indirection can be removed:
+
+  * **Structured coloring**: color = (Kuhn type t, cube parity (i%2,j%2,k%2))
+    = 48 colors.  Same-color tets live in cubes >= 2 apart in every axis, so
+    they share no vertex — each color is a valid Gauss-Seidel batch, and the
+    48-color sweep is a valid GS ordering of the whole mesh (the thing the
+    reference declared but never implemented, SoftbodyGPU.js:589-590 /
+    README.md:25).  ``grid_coloring`` exports the same coloring as a per-tet
+    array so the generic engine can run the identical schedule — the parity
+    test between the two engines is exact to f32 accumulation order.
+  * **Parity-block layout**: vertices split into 8 sub-lattices by parity.
+    Within a color, corner k of every tet lives in ONE block at ONE static
+    offset — the gather becomes a contiguous flat slice (polar_grid's
+    flat-shift trick, one level down), and the scatter becomes 12 static
+    slice-adds (exact: same-color tets are vertex-disjoint).
+
+State stays in parity-block component form across the whole frame (the
+[N,3] SimState layout tile-pads catastrophically on TPU); step_frame
+converts at the frame boundary only.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..mesh import TetMesh
+from ..params import PhysicsParams
+from ..state import SimState, Controls
+
+_EPS = 1e-9
+_OFFSETS = tuple(
+    (dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
+)
+
+
+def grid_coloring(dims: Tuple[int, int, int]) -> np.ndarray:
+    """Per-tet colors for a grid_mesh(nx,ny,nz): color = t*8 + parity(cube).
+
+    Tet order matches mesh.grid_mesh (type-major, cubes in C-order).  Any
+    two same-color tets are the same Kuhn type in cubes >= 2 apart in every
+    axis, hence vertex-disjoint — a valid GS coloring with 48 colors.
+    """
+    nx, ny, nz = dims
+    ci, cj, ck = np.meshgrid(
+        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+    )
+    par = ((ci % 2) * 4 + (cj % 2) * 2 + (ck % 2)).ravel()
+    return (
+        np.arange(6, dtype=np.int32)[:, None] * 8 + par[None, :]
+    ).reshape(-1).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Build
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class NHGridArrays:
+    """Stencil-form constants for the Neo-Hookean grid engine.
+
+    Static structure mirrors polar_grid.GridArrays (decoded from the actual
+    mesh so corner order matches grid_mesh's positive-orientation swap);
+    inv_rest_pose/volume are uniform per type, so they are baked as Python
+    floats (compile-time constants).  The only traced field is the
+    per-vertex inv_mass, pre-converted to parity-block layout.
+    """
+
+    dims: Tuple[int, int, int] = struct.field(pytree_node=False)
+    corner_slab: Tuple = struct.field(pytree_node=False)  # [6][4] -> offset id
+    inv_rest_pose: Tuple = struct.field(pytree_node=False)  # [6][3][3] float
+    inv_rest_volume: float = struct.field(pytree_node=False)
+    rest_volume: float = struct.field(pytree_node=False)
+    inv_mass_blocks: jnp.ndarray = None  # f32 [8, LHp]
+
+    @property
+    def num_particles(self) -> int:
+        nx, ny, nz = self.dims
+        return (nx + 1) * (ny + 1) * (nz + 1)
+
+    @property
+    def num_tets(self) -> int:
+        nx, ny, nz = self.dims
+        return 6 * nx * ny * nz
+
+
+def _geometry(dims):
+    """(H, LH, LHp): parity-block dims (ceil(g/2) each, uniform across the 8
+    blocks), real block lanes, padded lanes (pad covers the largest corner
+    offset HyHz+Hz+1 so every shifted read is one in-bounds flat slice)."""
+    gx, gy, gz = dims[0] + 1, dims[1] + 1, dims[2] + 1
+    h = ((gx + 1) // 2, (gy + 1) // 2, (gz + 1) // 2)
+    lh = h[0] * h[1] * h[2]
+    pad = h[1] * h[2] + h[2] + 1
+    return h, lh, lh + pad
+
+
+def build_nh_grid_arrays(
+    mesh: TetMesh,
+    dims: Tuple[int, int, int],
+    density: float = 1000.0,
+    pinned=None,
+) -> NHGridArrays:
+    """Decode the stencil description from a grid_mesh (same approach as
+    polar_grid.build_grid_arrays: read cube 0 of each type from the real
+    mesh arrays so conventions match build_arrays/rest_state exactly)."""
+    nx, ny, nz = dims
+    gx, gy, gz = nx + 1, ny + 1, nz + 1
+    ncubes = nx * ny * nz
+    if mesh.num_tets != 6 * ncubes or mesh.num_particles != gx * gy * gz:
+        raise ValueError(
+            f"mesh ({mesh.num_tets} tets / {mesh.num_particles} particles) "
+            f"is not a grid_mesh({nx},{ny},{nz})"
+        )
+
+    def decode(vid):
+        k = vid % gz
+        j = (vid // gz) % gy
+        i = vid // (gy * gz)
+        return int(i), int(j), int(k)
+
+    slab_index = {off: s for s, off in enumerate(_OFFSETS)}
+    corner_slab = []
+    inv_rest_pose = []
+    vol0 = None
+    for t in range(6):
+        row = mesh.tets[t * ncubes]
+        offs = [decode(int(v)) for v in row]
+        if any(o not in slab_index for o in offs):
+            raise ValueError("mesh tets do not follow grid_mesh cube layout")
+        corner_slab.append(tuple(slab_index[o] for o in offs))
+        p = mesh.verts[row].astype(np.float32)
+        d = np.stack([p[1] - p[0], p[2] - p[0], p[3] - p[0]], axis=-1)
+        det = float(np.linalg.det(d.astype(np.float64)))
+        v = det / 6.0
+        if vol0 is None:
+            vol0 = v
+        elif not math.isclose(v, vol0, rel_tol=1e-5):
+            raise ValueError("grid_mesh tets are not uniform volume")
+        # f64 inverse -> f32, matching mesh.rest_state:111-113
+        ir = np.linalg.inv(d.astype(np.float64)).astype(np.float32)
+        inv_rest_pose.append(
+            tuple(tuple(float(x) for x in r) for r in ir)
+        )
+    w32 = float(np.float32(vol0))
+    irv = float(np.float32(1.0 / np.float32(vol0)))
+
+    # lumped mass (rest_state math): every tet adds V/4*density to 4 corners
+    count = np.zeros((gx, gy, gz), np.int64)
+    for t in range(6):
+        for k in range(4):
+            dx, dy, dz = _OFFSETS[corner_slab[t][k]]
+            count[dx : dx + nx, dy : dy + ny, dz : dz + nz] += 1
+    pm = np.float32(vol0 / 4.0 * density)
+    mass = count.astype(np.float32) * pm
+    inv_mass = np.where(mass > 0.0, 1.0 / mass, 0.0).astype(np.float32)
+    if pinned is not None:
+        flat = inv_mass.reshape(-1)
+        flat[np.asarray(pinned, np.int64)] = 0.0
+        inv_mass = flat.reshape(gx, gy, gz)
+
+    imb = np.asarray(
+        _to_blocks_np(inv_mass.reshape(-1), dims), np.float32
+    )
+    return NHGridArrays(
+        dims=dims,
+        corner_slab=tuple(corner_slab),
+        inv_rest_pose=tuple(inv_rest_pose),
+        inv_rest_volume=irv,
+        rest_volume=w32,
+        inv_mass_blocks=jnp.asarray(imb),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parity-block layout conversion
+# ---------------------------------------------------------------------------
+
+
+def _to_blocks_np(flat, dims):
+    """NumPy mirror of _to_blocks (used at build time)."""
+    gx, gy, gz = dims[0] + 1, dims[1] + 1, dims[2] + 1
+    (hx, hy, hz), lh, lhp = _geometry(dims)
+    a = np.zeros((2 * hx, 2 * hy, 2 * hz), np.float32)
+    a[:gx, :gy, :gz] = np.asarray(flat, np.float32).reshape(gx, gy, gz)
+    b = a.reshape(hx, 2, hy, 2, hz, 2).transpose(1, 3, 5, 0, 2, 4)
+    out = np.zeros((8, lhp), np.float32)
+    out[:, :lh] = b.reshape(8, lh)
+    return out
+
+
+def _to_blocks(flat, dims):
+    """[Nv] component -> [8, LHp] parity blocks (tail zero-padded)."""
+    gx, gy, gz = dims[0] + 1, dims[1] + 1, dims[2] + 1
+    (hx, hy, hz), lh, lhp = _geometry(dims)
+    a = jnp.zeros((2 * hx, 2 * hy, 2 * hz), flat.dtype)
+    a = a.at[:gx, :gy, :gz].set(flat.reshape(gx, gy, gz))
+    b = jnp.transpose(
+        a.reshape(hx, 2, hy, 2, hz, 2), (1, 3, 5, 0, 2, 4)
+    ).reshape(8, lh)
+    return jnp.pad(b, ((0, 0), (0, lhp - lh)))
+
+
+def _from_blocks(blocks, dims):
+    """[8, LHp] parity blocks -> [Nv] flat component."""
+    gx, gy, gz = dims[0] + 1, dims[1] + 1, dims[2] + 1
+    (hx, hy, hz), lh, _ = _geometry(dims)
+    b = blocks[:, :lh].reshape(2, 2, 2, hx, hy, hz)
+    a = jnp.transpose(b, (3, 0, 4, 1, 5, 2)).reshape(2 * hx, 2 * hy, 2 * hz)
+    return a[:gx, :gy, :gz].reshape(-1)
+
+
+def _block_pid(dims):
+    """Global particle id per block lane: int32 [8, LH] (iota arithmetic)."""
+    gy, gz = dims[1] + 1, dims[2] + 1
+    (hx, hy, hz), lh, _ = _geometry(dims)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (lh, 1), 0).reshape(lh)
+    zb = lane % hz
+    yb = (lane // hz) % hy
+    xb = lane // (hy * hz)
+    rows = []
+    for bx in (0, 1):
+        for by in (0, 1):
+            for bz in (0, 1):
+                i, j, k = 2 * xb + bx, 2 * yb + by, 2 * zb + bz
+                pid = (i * gy + j) * gz + k
+                valid = (i < dims[0] + 1) & (j < gy) & (k < gz)
+                rows.append(jnp.where(valid, pid, -2))
+    return jnp.stack(rows, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# The 48-color Gauss-Seidel sweep
+# ---------------------------------------------------------------------------
+
+
+def _color_plan(arr: NHGridArrays):
+    """Static per-(type, parity) slab plan.
+
+    For color (t, p) and corner k with cube offset d: the corner vertex of
+    cube p+2A is at parity block (p+d)%2, block coord A+(p+d)//2 — a flat
+    slice at offset dot((p+d)//2, strides).  Returns a list of 48 entries
+    (t, parity, [(block_id, flat_offset)]*4, (cwx, cwy, cwz) cube window).
+    """
+    (hx, hy, hz), lh, _ = _geometry(arr.dims)
+    plan = []
+    for t in range(6):
+        offs = [_OFFSETS[s] for s in arr.corner_slab[t]]
+        for px in (0, 1):
+            for py in (0, 1):
+                for pz in (0, 1):
+                    p = (px, py, pz)
+                    corners = []
+                    for d in offs:
+                        v = tuple(p[i] + d[i] for i in range(3))
+                        b = (v[0] % 2) * 4 + (v[1] % 2) * 2 + (v[2] % 2)
+                        a = (v[0] // 2, v[1] // 2, v[2] // 2)
+                        corners.append(
+                            (b, a[0] * hy * hz + a[1] * hz + a[2])
+                        )
+                    cw = tuple(
+                        (arr.dims[i] - p[i] + 1) // 2 for i in range(3)
+                    )
+                    plan.append((t, p, tuple(corners), cw))
+    return plan
+
+
+def _cube_mask(cw, dims):
+    """f32 [LH] — 1 where the lane's cube window coords are in range."""
+    (hx, hy, hz), lh, _ = _geometry(dims)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (lh, 1), 0).reshape(lh)
+    az = lane % hz
+    ay = (lane // hz) % hy
+    ax = lane // (hy * hz)
+    ok = (ax < cw[0]) & (ay < cw[1]) & (az < cw[2])
+    return jnp.where(ok, 1.0, 0.0).astype(jnp.float32)
+
+
+def _solve_color(p, imc, ir, irv, dt, params: PhysicsParams):
+    """Project both Neo-Hookean constraints on one color's tet lanes.
+
+    p: [4][3] of [LH] corner coordinates; imc: [4] of [LH]; ir: [3][3]
+    Python floats (uniform rest pose per type); irv: Python float.
+    Component-wise mirror of neohookean.solve_tet_batch (Softbody.js:91-165
+    math) — same op order as kernels/gs_fused._solve_level, which is parity
+    tested against the XLA engine.  Returns (updated p, det F - 1).
+    """
+
+    def edges(p):
+        return [[p[k + 1][r] - p[0][r] for r in range(3)] for k in range(3)]
+
+    def deformation(e):
+        return [
+            [sum(e[k][r] * ir[k][c] for k in range(3)) for c in range(3)]
+            for r in range(3)
+        ]
+
+    def xpbd_apply(p, g, c_val, compliance):
+        g0 = [-(g[0][r] + g[1][r] + g[2][r]) for r in range(3)]
+        gall = [g0] + list(g)
+        w = sum(
+            (gall[i][0] ** 2 + gall[i][1] ** 2 + gall[i][2] ** 2) * imc[i]
+            for i in range(4)
+        )
+        alpha = compliance / (dt * dt) * irv
+        ok = (c_val != 0.0) & (w != 0.0)
+        denom = jnp.where(ok, w + alpha, 1.0)
+        dlam = jnp.where(ok, -c_val / denom, 0.0)
+        return [
+            [p[i][r] + dlam * imc[i] * gall[i][r] for r in range(3)]
+            for i in range(4)
+        ]
+
+    gamma = params.vol_compliance / params.dev_compliance
+
+    # deviatoric: C = ||F||_F (Softbody.js:96-131)
+    e = edges(p)
+    f = deformation(e)
+    r_s = jnp.sqrt(sum(f[r][c] ** 2 for r in range(3) for c in range(3)))
+    r_inv = jnp.where(r_s > 0.0, 1.0 / jnp.where(r_s > 0.0, r_s, 1.0), 0.0)
+    g = [
+        [sum(f[r][c] * ir[i][c] for c in range(3)) * r_inv for r in range(3)]
+        for i in range(3)
+    ]
+    p = xpbd_apply(p, g, r_s, params.dev_compliance)
+
+    # hydrostatic: C = det F - 1 - gamma on the *updated* positions
+    # (Gauss-Seidel within the element, Softbody.js:134-165)
+    e = edges(p)
+    f = deformation(e)
+
+    def col(c):
+        return [f[r][c] for r in range(3)]
+
+    def cross(a, b):
+        return [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ]
+
+    f0, f1, f2 = col(0), col(1), col(2)
+    df = [cross(f1, f2), cross(f2, f0), cross(f0, f1)]
+    det = sum(f[r][0] * df[0][r] for r in range(3))
+    c_vol = det - 1.0 - gamma
+    g = [
+        [sum(df[c][r] * ir[i][c] for c in range(3)) for r in range(3)]
+        for i in range(3)
+    ]
+    p = xpbd_apply(p, g, c_vol, params.vol_compliance)
+    return p, det - 1.0
+
+
+def _gs_sweep(X, Y, Z, arr: NHGridArrays, dt, params: PhysicsParams):
+    """The 48-color Gauss-Seidel sweep over parity-block state.
+
+    Sequential over colors (each color reads the positions updated by all
+    previous colors — functional in-place slice updates), parallel within
+    a color (vertex-disjoint tets).  Returns (X, Y, Z, sum vol_err)."""
+    (hx, hy, hz), lh, _ = _geometry(arr.dims)
+    vol_err = jnp.float32(0.0)
+    for t, p, corners, cw in _color_plan(arr):
+        mask = _cube_mask(cw, arr.dims)
+        pc = [
+            [comp[b, o : o + lh] for comp in (X, Y, Z)]
+            for (b, o) in corners
+        ]
+        imc = [arr.inv_mass_blocks[b, o : o + lh] for (b, o) in corners]
+        newp, verr = _solve_color(
+            pc, imc, arr.inv_rest_pose[t], arr.inv_rest_volume, dt, params
+        )
+        for k, (b, o) in enumerate(corners):
+            X = X.at[b, o : o + lh].add((newp[k][0] - pc[k][0]) * mask)
+            Y = Y.at[b, o : o + lh].add((newp[k][1] - pc[k][1]) * mask)
+            Z = Z.at[b, o : o + lh].add((newp[k][2] - pc[k][2]) * mask)
+        vol_err = vol_err + jnp.sum(verr * mask)
+    return X, Y, Z, vol_err
+
+
+def _substep_blocks(carry, arr: NHGridArrays, params, dt, controls: Controls):
+    X, Y, Z, VX, VY, VZ = carry
+    movable = arr.inv_mass_blocks > 0.0
+
+    # predict (common.predict semantics: gravity in prediction, pinned gate)
+    VY = VY + params.gravity * dt
+    VX = jnp.where(movable, VX, 0.0)
+    VY = jnp.where(movable, VY, 0.0)
+    VZ = jnp.where(movable, VZ, 0.0)
+    PX, PY, PZ = X, Y, Z
+    X, Y, Z = X + VX * dt, Y + VY * dt, Z + VZ * dt
+
+    X, Y, Z, vol_err = _gs_sweep(X, Y, Z, arr, dt, params)
+
+    # collide (common.collide semantics)
+    X = jnp.clip(X, params.world_min[0], params.world_max[0])
+    Y = jnp.clip(Y, params.world_min[1], params.world_max[1])
+    Z = jnp.clip(Z, params.world_min[2], params.world_max[2])
+    below = Y < 0.0
+    Y = jnp.where(below, 0.0, Y)
+    k = jnp.minimum(1.0, dt * params.friction)
+    X = X + jnp.where(below, (PX - X) * k, 0.0)
+    Z = Z + jnp.where(below, (PZ - Z) * k, 0.0)
+
+    # grab override (scalar grab id, common.apply_grab semantics)
+    gid = controls.grab_id
+    if gid.ndim != 0:
+        raise NotImplementedError(
+            "neohookean_grid supports the scalar grab_id form; use the "
+            "generic neohookean engine for multi-body vector grabs"
+        )
+    pid = _block_pid(arr.dims)
+    (hx, hy, hz), lh, lhp = _geometry(arr.dims)
+    pid = jnp.pad(pid, ((0, 0), (0, lhp - lh)), constant_values=-2)
+    hit = pid == gid
+    X = jnp.where(hit, controls.grab_pos[0], X)
+    Y = jnp.where(hit, controls.grab_pos[1], Y)
+    Z = jnp.where(hit, controls.grab_pos[2], Z)
+
+    # velocity update
+    VX, VY, VZ = (X - PX) / dt, (Y - PY) / dt, (Z - PZ) / dt
+    return (X, Y, Z, VX, VY, VZ), (
+        (PX, PY, PZ),
+        vol_err / arr.num_tets,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engine API
+# ---------------------------------------------------------------------------
+
+
+def _to_carry(state: SimState, arr: NHGridArrays):
+    d = arr.dims
+    return tuple(
+        _to_blocks(a[:, c], d) for a in (state.pos, state.vel) for c in range(3)
+    )
+
+
+def _carry_state(carry, prev, state: SimState, arr: NHGridArrays):
+    d = arr.dims
+    X, Y, Z, VX, VY, VZ = carry
+
+    def stack3(x, y, z):
+        return jnp.stack(
+            [_from_blocks(x, d), _from_blocks(y, d), _from_blocks(z, d)],
+            axis=-1,
+        )
+
+    return state.replace(
+        pos=stack3(X, Y, Z),
+        prev_pos=stack3(*prev),
+        vel=stack3(VX, VY, VZ),
+    )
+
+
+def substep(state, arr: NHGridArrays, params, dt, controls, axis_name=None):
+    """Single-substep entry matching the engine API (used by tests)."""
+    del axis_name
+    carry = _to_carry(state, arr)
+    carry, (prev, diag) = _substep_blocks(carry, arr, params, dt, controls)
+    return _carry_state(carry, prev, state, arr), diag
+
+
+def step_frame(
+    state: SimState,
+    arr: NHGridArrays,
+    params: PhysicsParams,
+    controls: Controls,
+    axis_name=None,
+):
+    """One frame = params.num_substeps stencil-GS substeps in one trace."""
+    del axis_name
+    dt = params.dt
+    carry0 = _to_carry(state, arr)
+
+    def body(carry_prev, _):
+        carry, _ = carry_prev
+        carry, (prev, diag) = _substep_blocks(carry, arr, params, dt, controls)
+        return (carry, prev), diag
+
+    (carry, prev), diags = jax.lax.scan(
+        body, (carry0, carry0[:3]), None, length=params.num_substeps
+    )
+    return _carry_state(carry, prev, state, arr), diags
