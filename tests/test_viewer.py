@@ -217,3 +217,64 @@ def test_point_ranges_and_grab_leak():
     assert out2["grabbed"] >= 1234
     assert int(world.bodies[0].controls.grab_id) == -1, "first grab leaked"
     srv.grab("end")
+
+
+def test_surfaced_grid_body_streams_boundary_only():
+    """A surfaced, edge-less PackedGridBody must NOT stream its interior
+    particles per frame — the client renders it entirely from the boundary
+    shell (VERDICT r2 item 8: 2.2 MB/frame -> ~0.5 MB at the 56^3 config).
+    Wireframe/point bodies still stream."""
+    world = ts.World(ts.PhysicsParams(num_substeps=2))
+    world.add_body(ts.load_dragon(), engine="polar")  # has edges: streams
+    grid = world.add_grid_body(
+        (6, 4, 6), cell=0.1, origin=(2.0, 0.5, 0.0),
+        engine="polar_grid_pallas", packed=True, with_surface=True,
+    )
+    srv = ViewerServer(world)  # no .start(): drive methods directly
+
+    hdr, _ = _split_blob(srv.mesh_blob())
+    # streamed particle total excludes the surfaced grid body's 7*5*7=245
+    assert hdr["n_particles"] == 1234
+    assert hdr["n_tris"] > 59657  # dragon tris + boundary shell tris
+    n_vis = hdr["n_vis"]
+
+    world.step(frames=2)
+    shdr, payload = _split_blob(srv.state_blob())
+    assert len(payload) == (n_vis * 3 + n_vis * 3 + 1234 * 3) * 4
+    verts = np.frombuffer(payload[: n_vis * 12], "<f4")
+    assert np.isfinite(verts).all()
+    # grab picking still sees the non-streamed body (device-side argmin)
+    c = np.asarray(grid.pos_device()).mean(axis=0)
+    out = srv.grab(
+        "start", origin=(c + [0, 0, 2]).tolist(), direction=[0, 0, -1]
+    )
+    assert out["grabbed"] >= 1234
+    srv.grab("end")
+
+
+def test_world_step_many_batches_frames():
+    """World.step(frames=N) must advance a PackedGridBody through ONE
+    step_many dispatch and match N sequential step() calls exactly."""
+    import jax
+
+    p = ts.PhysicsParams(num_substeps=2)
+    w1, w2 = ts.World(p), ts.World(p)
+    b1 = w1.add_grid_body((4, 3, 4), cell=0.2, origin=(0.0, 0.6, 0.0),
+                          engine="polar_grid_pallas", packed=True)
+    b2 = w2.add_grid_body((4, 3, 4), cell=0.2, origin=(0.0, 0.6, 0.0),
+                          engine="polar_grid_pallas", packed=True)
+    calls = []
+    orig = b1.step_many
+
+    def spy(params, frames):
+        calls.append(frames)
+        return orig(params, frames)
+
+    b1.step_many = spy
+    w1.step(frames=5)
+    for _ in range(5):
+        w2.step(frames=1)
+    assert calls == [5], f"step_many not used for batching: {calls}"
+    np.testing.assert_allclose(
+        np.asarray(b1.pos_device()), np.asarray(b2.pos_device()), atol=1e-6
+    )

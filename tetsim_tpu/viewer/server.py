@@ -80,6 +80,7 @@ class _View:
     def __init__(self, body):
         self.body = body
         self._grab_sub = None  # sub-body index of an active grab (batches)
+        self._grab_pid = None  # host-side mirror of the active grab id
         self._packed_grid = False
         from ..world import PackedGridBody
 
@@ -92,6 +93,12 @@ class _View:
             self.surface = body._surface
             self.edges = body.mesh.edges
             self._state0 = None if self._packed_grid else body.state
+            if self._packed_grid and self.surface is not None:
+                # fuse step + surface export into one jitted device call
+                body.enable_render_export(
+                    self.surface.skin_ids, self.surface.skin_w,
+                    self.surface.tris,
+                )
         elif isinstance(body, BatchedBody):
             self.kind = "batched"
             self.n_particles = body.flat_mesh.num_particles
@@ -126,6 +133,18 @@ class _View:
         )
         self.n_edges = 0 if self.edges is None else int(self.edges.shape[0])
 
+    @property
+    def streams_particles(self) -> bool:
+        """Whether the client draws from this view's particle buffer.
+
+        Only wireframes (edges) and surface-less point clouds read it; a
+        surfaced, edge-less body (e.g. a 56^3 PackedGridBody with
+        with_surface=True) renders entirely from the ~19k boundary-shell
+        verts, so streaming its 185k interior particles (2.2 MB/frame)
+        would be pure waste — the reference's grab-only readback economy
+        (SoftbodyGPU.js:649-668), applied to the render stream."""
+        return self.n_edges > 0 or (self.n_tris == 0 and self.n_edges == 0)
+
     # -- per-frame data ------------------------------------------------------
     def pos_device(self):
         """Flat [n_particles, 3] device positions (no host round trip)."""
@@ -147,16 +166,9 @@ class _View:
             [st[c, : b.num_bodies, :n] for c in range(3)], axis=-1
         ).reshape(-1, 3)
 
-    def surface_data(self, pos):
-        """(verts, normals) numpy [n_vis,3] — empty when no surface."""
-        if self.surface is None:
-            z = np.zeros((0, 3), np.float32)
-            return z, z
-        v, n, _ = self.surface.mesh_data(pos, None, "smooth")
-        return v, n
-
     # -- interaction -----------------------------------------------------------
     def grab_start(self, pid: int, point):
+        self._grab_pid = pid
         if self.kind == "body":
             self.body.controls = Controls(
                 grab_id=jnp.int32(pid),
@@ -189,20 +201,15 @@ class _View:
         elif self._grab_sub is not None:
             self.body.end_grab(self._grab_sub)
         self._grab_sub = None
+        self._grab_pid = None
 
     def grabbed_id(self) -> int:
-        """Currently grabbed particle id (view-local flat index), or -1."""
-        if self.kind == "body":
-            return int(self.body.controls.grab_id)
-        if self.kind == "batched":
-            g = np.asarray(self.body.controls.grab_id)
-            active = g[g >= 0]
-            return int(active[0]) if active.size else -1
-        g = np.asarray(self.body.grab_id).reshape(-1)[: self.body.num_bodies]
-        sub = np.nonzero(g >= 0)[0]
-        if not sub.size:
-            return -1
-        return int(sub[0]) * self._n_per + int(g[sub[0]])
+        """Currently grabbed particle id (view-local flat index), or -1.
+
+        Host-side mirror of the last viewer-initiated grab: reading the
+        device grab_id scalar back would cost a blocking ~35 ms round trip
+        per view per sim iteration on tunneled devices."""
+        return -1 if self._grab_pid is None else int(self._grab_pid)
 
     def reset(self):
         if self.kind == "body":
@@ -253,10 +260,14 @@ class ViewerServer:
         self._grab_depth = None
         self._grab_view: _View | None = None
         self._sim_thread = None
+        self._cached_state: bytes | None = None
         self._httpd = None
 
         self._n_vis = sum(v.n_vis for v in self.views)
-        self._n_part = sum(v.n_particles for v in self.views)
+        # only particle buffers the client actually draws are streamed
+        self._n_part = sum(
+            v.n_particles for v in self.views if v.streams_particles
+        )
 
     @property
     def body(self):
@@ -277,7 +288,7 @@ class ViewerServer:
         }
         tris_parts, edge_parts = [], []
         vert_off = 0
-        part_off = 0
+        part_off = 0  # offset in the STREAMED particle buffer
         for v in self.views:
             if v.n_tris:
                 tris_parts.append(
@@ -290,7 +301,8 @@ class ViewerServer:
             if not v.n_tris and not v.n_edges:
                 header["point_ranges"].append([part_off, v.n_particles])
             vert_off += v.n_vis
-            part_off += v.n_particles
+            if v.streams_particles:
+                part_off += v.n_particles
         tris = (
             np.concatenate(tris_parts, axis=0)
             if tris_parts
@@ -305,34 +317,78 @@ class ViewerServer:
         return hdr + tris.tobytes() + edges.tobytes()
 
     # -- per-frame state blob ----------------------------------------------
-    def state_blob(self) -> bytes:
-        with self._lock:
-            verts, normals, parts = [], [], []
-            grabbed = -1
-            off = 0
-            for v in self.views:
+    def _export_device(self, precomputed=None):
+        """Dispatch the render export on device; no blocking transfer.
+
+        Returns (diag dict, [(vn, parts)] per view — arrays still on
+        device, host copies already in flight via copy_to_host_async).
+        The sim loop assembles the blob one iteration later, overlapping
+        the ~35 ms relay round trip with the next step's compute.
+        ``precomputed``: {view index: [2,S,3] device array} from fused
+        step+export dispatches (step_many_export).  Call with the sim
+        lock held."""
+        from ..world import _surface_render_data
+
+        if precomputed is None:
+            precomputed = {}
+        exports = []
+        grabbed = -1
+        off = 0
+        for i, v in enumerate(self.views):
+            vn = precomputed.get(i)
+            pos = None
+            if vn is None or v.streams_particles:
                 pos = v.pos_device()
-                sv, sn = v.surface_data(pos)
-                verts.append(sv)
-                normals.append(sn)
-                parts.append(np.asarray(pos))
-                if grabbed < 0:
-                    g = v.grabbed_id()
-                    if g >= 0:
-                        grabbed = off + g
-                off += v.n_particles
-            diag = {
-                "frame": self.frame,
-                "step_ms": round(self.last_step_ms, 3),
-                "grabbed": grabbed,
-            }
+            if vn is None and v.surface is not None:
+                vn = _surface_render_data(
+                    pos, v.surface.skin_ids, v.surface.skin_w, v.surface.tris
+                )
+            # the only per-frame device->host particle transfer; surfaced
+            # edge-less bodies skip it entirely (boundary-only streaming)
+            parts = pos if v.streams_particles else None
+            for a in (vn, parts):
+                if a is not None:
+                    try:
+                        a.copy_to_host_async()
+                    except AttributeError:
+                        pass
+            exports.append((vn, parts))
+            if grabbed < 0:
+                g = v.grabbed_id()
+                if g >= 0:
+                    grabbed = off + g
+            off += v.n_particles
+        diag = {
+            "frame": self.frame,
+            "step_ms": round(self.last_step_ms, 3),
+            "grabbed": grabbed,
+        }
+        return diag, exports
+
+    @staticmethod
+    def _assemble_blob(diag, exports) -> bytes:
+        """Device export -> wire blob (pays the blocking transfers)."""
+        z = [np.zeros((0, 3), np.float32)]
+        verts, normals, parts = [], [], []
+        for vn, p in exports:
+            if vn is not None:
+                vn = np.asarray(vn)
+                verts.append(vn[0])
+                normals.append(vn[1])
+            if p is not None:
+                parts.append(np.asarray(p))
         hdr = _pad_header(json.dumps(diag).encode())
         return (
             hdr
-            + np.concatenate(verts).astype("<f4").tobytes()
-            + np.concatenate(normals).astype("<f4").tobytes()
-            + np.concatenate(parts).astype("<f4").tobytes()
+            + np.concatenate(verts or z).astype("<f4").tobytes()
+            + np.concatenate(normals or z).astype("<f4").tobytes()
+            + np.concatenate(parts or z).astype("<f4").tobytes()
         )
+
+    def state_blob(self) -> bytes:
+        with self._lock:
+            diag, exports = self._export_device()
+        return self._assemble_blob(diag, exports)
 
     # -- interaction (synchronous, under the sim lock) -----------------------
     def grab(self, action: str, origin=None, direction=None) -> dict:
@@ -417,18 +473,63 @@ class ViewerServer:
                 v.reset()
             self._grab_depth = None
             self._grab_view = None
+        self._cached_state = None
 
     # -- sim loop ------------------------------------------------------------
+    def _step_world(self, frames: int) -> dict:
+        """Advance every body ``frames`` frames; bodies with a fused
+        step+export (PackedGridBody.enable_render_export) return their
+        render data from the SAME device call — {view index: [2,S,3]}.
+        Call with the sim lock held."""
+        vns = {}
+        for i, v in enumerate(self.views):
+            b = v.body
+            if getattr(b, "_many_export", None) is not None:
+                vns[i] = b.step_many_export(self.world.params, frames)
+            elif frames > 1 and hasattr(b, "step_many"):
+                b.step_many(self.world.params, frames)
+            else:
+                for _ in range(frames):
+                    b.step(self.world.params)
+        return vns
+
     def _run_sim(self):
+        batch = 1
+        pending = None  # last iteration's device export, transfer in flight
         while not self._stop.is_set():
             t0 = time.perf_counter()
             with self._lock:
-                self.world.step()
-                self.frame += 1
-            self.last_step_ms = (time.perf_counter() - t0) * 1e3
-            sleep = self.frame_dt - (time.perf_counter() - t0)
+                vns = self._step_world(batch)
+                self.frame += batch
+                # dispatch this frame's export (async) under the lock...
+                export = self._export_device(precomputed=vns)
+            # ...then assemble the PREVIOUS frame's blob while this
+            # frame's step + export run on device: the blocking transfer
+            # overlaps compute instead of serializing with it (one frame
+            # of visual latency, ~2x the state refresh rate through the
+            # ~35 ms-round-trip relay)
+            if pending is not None:
+                self._cached_state = self._assemble_blob(*pending)
+            pending = export
+            dt_wall = time.perf_counter() - t0
+            self.last_step_ms = dt_wall * 1e3 / batch
+            # Adaptive frame batching with hysteresis: when one dispatch
+            # cannot keep real-time pace (the ~35 ms per-dispatch round
+            # trip dominates at interactive sizes), advance several frames
+            # per dispatch via World.step(frames=N)/step_many.  Hysteresis
+            # (grow >1.2x, shrink <0.8x) prevents the 1<->N oscillation
+            # that otherwise halves throughput at the boundary.  Capped at
+            # 4 so grab/param updates stay responsive.
+            lag = (dt_wall / batch) / self.frame_dt
+            sleep = batch * self.frame_dt - dt_wall
+            if lag > 1.2 and batch < 4:
+                batch += 1
+            elif lag < 0.8 and batch > 1:
+                batch -= 1
             if sleep > 0:
                 time.sleep(sleep)
+        if pending is not None:  # flush so /state never sees a stale cache
+            self._cached_state = self._assemble_blob(*pending)
 
     # -- http ----------------------------------------------------------------
     def _make_handler(self):
@@ -452,7 +553,11 @@ class ViewerServer:
                 elif self.path == "/mesh":
                     self._send(200, server.mesh_blob())
                 elif self.path == "/state":
-                    self._send(200, server.state_blob())
+                    # served from the sim thread's per-frame cache; computed
+                    # on demand only before the first frame (or no sim loop)
+                    self._send(
+                        200, server._cached_state or server.state_blob()
+                    )
                 elif self.path == "/diag":
                     body = json.dumps(server.world.diagnostics()).encode()
                     self._send(200, body, "application/json")
@@ -479,6 +584,14 @@ class ViewerServer:
                         server.set_params(msg)
                     elif self.path == "/reset":
                         server.reset()
+                    elif self.path == "/shutdown":
+                        # clean remote stop: the sim thread finishes its
+                        # current device call before exiting — killing the
+                        # process mid-RPC can wedge relayed devices
+                        server._stop.set()
+                        threading.Thread(
+                            target=server._httpd.shutdown, daemon=True
+                        ).start()
                     else:
                         self._send(404, b"not found", "text/plain")
                         return
@@ -512,8 +625,9 @@ class ViewerServer:
     def serve_forever(self):
         print(f"tetsim viewer: http://{self.host}:{self.port}/")
         try:
-            while True:
+            while not self._stop.is_set():
                 time.sleep(1)
+            self._sim_thread.join(timeout=30)
         except KeyboardInterrupt:
             self.stop()
 

@@ -44,6 +44,13 @@ def _skin_surface(pos, skin_ids, skin_w):
 
 
 @jax.jit
+def _surface_render_data(pos, skin_ids, skin_w, tris):
+    """Fused viewer export: skin + smooth normals, one [2,S,3] output."""
+    verts = _skin_surface(pos, skin_ids, skin_w)
+    return jnp.stack([verts, _vertex_normals(verts, tris)])
+
+
+@jax.jit
 def _rotated_normals(rest_normals, quats, vis_tet_ids):
     """Reference GPU-path normals: rotate the REST normal by the containing
     tet's shape-matching quaternion instead of recomputing from geometry
@@ -100,6 +107,15 @@ class _Surface:
         else:
             raise ValueError(f"unknown normals mode {normals!r}")
         return np.asarray(verts), np.asarray(nrm), np.asarray(self.tris)
+
+    def render_data(self, pos) -> np.ndarray:
+        """Stacked [2,S,3] (verts, smooth normals) in ONE device->host
+        transfer — the per-render-frame export path.  On tunneled devices
+        every blocking transfer costs a ~35 ms round trip (BENCHNOTES), so
+        the viewer's frame export must be a single one."""
+        return np.asarray(
+            _surface_render_data(pos, self.skin_ids, self.skin_w, self.tris)
+        )
 
 
 class Body:
@@ -250,8 +266,11 @@ class PackedGridBody:
         )
         self._pack = pack
         self._stepfn = jax.jit(stepfn)
+        self._stepfn_raw = stepfn
         self._unpack = unpack
         self._unpack_pos = jax.jit(unpack_pos)
+        self._unpack_pos_raw = unpack_pos
+        self._many_export = None
 
         def _many(packed, params, controls, frames):
             def body(s, _):
@@ -298,7 +317,52 @@ class PackedGridBody:
             self._packed, params, self.controls, frames=frames
         )
         self._params = params
+        self.last_diag = None
         return None
+
+    def enable_render_export(self, skin_ids, skin_w, tris):
+        """Fuse the viewer's surface export into the frame dispatch.
+
+        After this, ``step_many_export`` advances N frames AND returns the
+        stacked [2,S,3] (skinned verts, smooth normals) in ONE jitted
+        call.  On tunneled devices every jit invocation costs a ~35 ms
+        round trip, so separate step/unpack/skin calls would cap the
+        interactive refresh rate at ~10/s regardless of compute."""
+        stepfn, unpack_pos = self._stepfn_raw, self._unpack_pos_raw
+        skin_ids = jnp.asarray(skin_ids)
+        skin_w = jnp.asarray(skin_w)
+        tris = jnp.asarray(tris)
+
+        def many_export(packed, params, controls, frames):
+            def body(s, _):
+                return stepfn(s, params, controls), None
+
+            s, _ = jax.lax.scan(body, packed, None, length=frames)
+            pos = unpack_pos(s)
+            verts = _skin_surface(pos, skin_ids, skin_w)
+            return s, jnp.stack([verts, _vertex_normals(verts, tris)])
+
+        self._many_export = jax.jit(
+            many_export, static_argnames=("frames",)
+        )
+
+    def step_many_export(self, params: PhysicsParams, frames: int):
+        """``frames`` frames + surface render export, one device call.
+        Requires a prior enable_render_export; returns device [2,S,3]."""
+        if self._many_export is None:
+            raise RuntimeError(
+                "call enable_render_export(skin_ids, skin_w, tris) first"
+            )
+        if float(params.dt) != float(self._params.dt):
+            self._packed = self._pack(
+                self._unpack(self._packed, self._params), params
+            )
+        self._packed, vn = self._many_export(
+            self._packed, params, self.controls, frames=frames
+        )
+        self._params = params
+        self.last_diag = None
+        return vn
 
     # -- state I/O boundary -------------------------------------------------
     @property
@@ -643,11 +707,20 @@ class World:
         return batch
 
     def step(self, frames: int = 1):
-        """Advance all bodies; each frame runs the full substep loop in one
-        jitted device call per body."""
-        for _ in range(frames):
-            for body in self.bodies:
-                body.step(self.params)
+        """Advance all bodies by ``frames`` frames.
+
+        Bodies exposing ``step_many`` (PackedGridBody) advance all frames
+        in ONE device dispatch (lax.scan) — on tunneled devices the ~35 ms
+        per-call round trip otherwise dominates at interactive sizes
+        (BENCHNOTES pitfall 2).  Bodies are mutually independent, so
+        per-body frame batching is order-equivalent to the per-frame
+        body loop."""
+        for body in self.bodies:
+            if frames > 1 and hasattr(body, "step_many"):
+                body.step_many(self.params, frames)
+            else:
+                for _ in range(frames):
+                    body.step(self.params)
 
     def diagnostics(self) -> dict:
         from . import diag
