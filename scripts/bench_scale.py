@@ -27,7 +27,16 @@ def main():
     from tetsim_tpu.solvers import get_engine
 
     t0 = time.perf_counter()
-    mesh = ts.grid_mesh(n, n, n, cell=0.02, origin=(-n * 0.01, 0.5, -n * 0.01))
+    if engine == "polar_pieces":
+        # the single-connected-UNSTRUCTURED-mesh workload (an irregular
+        # blob, no exploitable grid stencil): n=68 -> ~987k tets
+        mesh = ts.ellipsoid_mesh(
+            n, radii=(n * 0.01,) * 3, center=(0.0, n * 0.011, 0.0)
+        )
+    else:
+        mesh = ts.grid_mesh(
+            n, n, n, cell=0.02, origin=(-n * 0.01, 0.5, -n * 0.01)
+        )
     print(f"mesh: {mesh.num_tets} tets / {mesh.num_particles} particles "
           f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
 
@@ -40,6 +49,16 @@ def main():
         from tetsim_tpu.solvers.neohookean_grid import build_nh_grid_arrays
 
         arr = build_nh_grid_arrays(mesh, (n, n, n))
+    elif engine == "polar_pieces":
+        from tetsim_tpu.kernels.polar_pieces import build_pieces_arrays
+
+        arr = build_pieces_arrays(mesh)
+        print(
+            f"pieces: {arr.B} (rp={arr.rp}, rt={arr.rt}, K={arr.valence}, "
+            f"boundary={arr.bnd_pid.shape[0]}, "
+            f"dup={arr.B*arr.rp/mesh.num_particles:.2f}x lanes)",
+            file=sys.stderr,
+        )
     else:
         coloring = None if engine == "polar" else "greedy"
         arr = ts.build_arrays(mesh, coloring=coloring)
@@ -96,7 +115,7 @@ def main():
     # spread so the per-frame delta dominates round-trip jitter
     k1, k2 = (
         (50, 400) if engine.startswith("polar_grid")
-        else (20, 120) if engine == "neohookean_grid"
+        else (20, 120) if engine in ("neohookean_grid", "polar_pieces")
         else (3, 15)
     )
     run1, run2 = make_runner(k1), make_runner(k2)

@@ -109,3 +109,23 @@ def test_vmem_budget_admits_midsize_meshes():
     big = ts.grid_mesh(40, 40, 40, cell=0.02, origin=(0.0, 0.5, 0.0))
     with _pytest.raises(ValueError, match="VMEM estimate"):
         FusedGSBody(big, num_bodies=8, interpret=True)
+
+
+def test_sharded_bodies_match_unsharded(small):
+    """Data-parallel body sharding (VERDICT r2 item 5): the fused GS kernel
+    under shard_map over a body mesh axis == the single-device kernel,
+    grab on a second-shard body included."""
+    import jax
+    from jax.sharding import Mesh
+
+    params = ts.PhysicsParams(num_substeps=2)
+    ref = FusedGSBody(small, num_bodies=16, interpret=True, jitter=0.2)
+    sh = FusedGSBody(small, num_bodies=16, interpret=True, jitter=0.2)
+    for b in (ref, sh):
+        b.set_grab(12, 0, [0.0, 1.0, 0.0])
+
+    devs = np.array(jax.devices()[:2])
+    sh.shard(Mesh(devs, ("body",)), axis="body")
+    ref.step(params, frames=3)
+    sh.step(params, frames=3)
+    np.testing.assert_allclose(sh.positions(), ref.positions(), atol=1e-6)

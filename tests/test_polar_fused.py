@@ -113,3 +113,32 @@ def test_viewer_view_accepts_fused_polar(mesh):
     view.grab_end()
     view.reset()
     assert np.isfinite(np.asarray(view.pos_device())).all()
+
+
+def test_sharded_bodies_match_unsharded(mesh):
+    """Data-parallel body sharding (VERDICT r2 item 5): the fused kernel
+    under shard_map over a body mesh axis == the single-device kernel,
+    including an active grab on a body in the second shard."""
+    from jax.sharding import Mesh
+
+    params = ts.PhysicsParams(num_substeps=3)
+    ref = FusedPolarBody(mesh, num_bodies=16, interpret=True, jitter=0.2)
+    sh = FusedPolarBody(mesh, num_bodies=16, interpret=True, jitter=0.2)
+    for b in (ref, sh):
+        b.set_grab(9, 0, [0.0, 1.0, 0.0])  # body 9 lives on device 1
+
+    devs = np.array(jax.devices()[:2])
+    sh.shard(Mesh(devs, ("body",)), axis="body")
+    ref.step(params, frames=3)
+    sh.step(params, frames=3)
+    np.testing.assert_allclose(sh.positions(), ref.positions(), atol=1e-6)
+    np.testing.assert_allclose(sh.quaternions(), ref.quaternions(), atol=1e-6)
+
+
+def test_shard_rejects_uneven_split(mesh):
+    from jax.sharding import Mesh
+
+    body = FusedPolarBody(mesh, num_bodies=8, interpret=True)
+    devs = np.array(jax.devices()[:3])
+    with pytest.raises(ValueError, match="split"):
+        body.shard(Mesh(devs, ("body",)), axis="body")

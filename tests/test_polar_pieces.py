@@ -1,0 +1,105 @@
+"""Piecewise fused polar kernel (kernels/polar_pieces.py) vs the XLA polar
+engine — the single-connected-unstructured-mesh scale path.
+
+Interpret mode on the hermetic CPU suite; real Mosaic lowering + the 1M-tet
+rate floor live in tests_tpu/test_hardware.py.
+"""
+import numpy as np
+import jax
+import pytest
+
+import tetsim_tpu as ts
+from tetsim_tpu.solvers import get_engine
+from tetsim_tpu.kernels.polar_pieces import (
+    build_pieces_arrays,
+    build_pieces_schedule,
+    step_frame,
+)
+
+
+@pytest.fixture(scope="module")
+def blob():
+    # irregular blob: ellipsoid (masked grid — no regular stencil applies)
+    return ts.ellipsoid_mesh(8, radii=(0.4, 0.3, 0.35), center=(0.0, 0.8, 0.0))
+
+
+@pytest.fixture(scope="module")
+def blob_arr(blob):
+    return build_pieces_arrays(blob, tets_per_piece=128)
+
+
+def test_partition_covers_mesh(blob, blob_arr):
+    s = build_pieces_schedule(blob, tets_per_piece=128)
+    # every tet in exactly one piece
+    seen = np.asarray(s.tet_l2g).reshape(-1)
+    seen = seen[seen < blob.num_tets]
+    assert len(seen) == blob.num_tets
+    assert len(np.unique(seen)) == blob.num_tets
+    # every particle has an owner instance; instances map back correctly
+    g2l = np.asarray(s.g2l).reshape(-1)
+    own = np.asarray(s.owner_inst)
+    assert np.array_equal(g2l[own], np.arange(blob.num_particles))
+    for i, p in enumerate(np.asarray(s.bnd_pid)):
+        for inst in np.asarray(s.bnd_inst)[i]:
+            if inst >= 0:
+                assert g2l[inst] == p
+
+
+def test_parity_with_xla_polar(blob, blob_arr):
+    params = ts.PhysicsParams(num_substeps=5)
+    controls = ts.Controls.none()
+    arrx = ts.build_arrays(blob, coloring=None)
+    step_x = jax.jit(get_engine("polar").step_frame)
+    step_p = jax.jit(
+        lambda s: step_frame(s, blob_arr, params, controls, interpret=True)[0]
+    )
+    sx, sp = ts.init_state(blob), ts.init_state(blob)
+    for _ in range(6):
+        sx, _ = step_x(sx, arrx, params, controls)
+        sp = step_p(sp)
+    np.testing.assert_allclose(sp.pos, sx.pos, atol=2e-5)
+    np.testing.assert_allclose(sp.quats, sx.quats, atol=2e-5)
+
+
+def test_grab_matches_xla(blob, blob_arr):
+    params = ts.PhysicsParams(num_substeps=5)
+    controls = ts.Controls.none().replace(
+        grab_id=np.int32(3),
+        grab_pos=np.array([0.1, 1.1, 0.0], np.float32),
+    )
+    arrx = ts.build_arrays(blob, coloring=None)
+    step_x = jax.jit(get_engine("polar").step_frame)
+    step_p = jax.jit(
+        lambda s: step_frame(s, blob_arr, params, controls, interpret=True)[0]
+    )
+    sx, sp = ts.init_state(blob), ts.init_state(blob)
+    for _ in range(3):
+        sx, _ = step_x(sx, arrx, params, controls)
+        sp = step_p(sp)
+    # the hard pin concentrates strain, which amplifies the (valid)
+    # cross-piece f32 accumulation-order difference — 1e-4 instead of the
+    # free-fall 2e-5
+    np.testing.assert_allclose(sp.pos, sx.pos, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(sp.pos)[3], [0.1, 1.1, 0.0], atol=1e-6
+    )
+
+
+def test_settles_and_stays_finite(blob, blob_arr):
+    params = ts.PhysicsParams(num_substeps=5)
+    step = jax.jit(
+        lambda s: step_frame(
+            s, blob_arr, params, ts.Controls.none(), interpret=True
+        )[0]
+    )
+    state = ts.init_state(blob)
+    for _ in range(40):
+        state = step(state)
+    pos = np.asarray(state.pos)
+    assert np.isfinite(pos).all()
+    assert pos[:, 1].min() >= -1e-5
+
+
+def test_engine_registry():
+    eng = ts.get_engine("polar_pieces")
+    assert hasattr(eng, "step_frame") and hasattr(eng, "substep")

@@ -382,6 +382,59 @@ def test_neohookean_grid_rate_floor():
     )
 
 
+def test_polar_pieces_matches_xla_on_hardware():
+    """Piecewise fused kernel (kernels/polar_pieces.py) vs the XLA polar
+    engine, real Mosaic lowering, on an irregular blob."""
+    from tetsim_tpu.kernels.polar_pieces import build_pieces_arrays, step_frame
+
+    blob = ts.ellipsoid_mesh(10, radii=(0.4, 0.35, 0.45), center=(0, 0.8, 0))
+    parr = build_pieces_arrays(blob, tets_per_piece=512)
+    arrx = ts.build_arrays(blob, coloring=None)
+    params = ts.PhysicsParams(num_substeps=5)
+    controls = ts.Controls.none()
+    step_x = jax.jit(get_engine("polar").step_frame)
+    step_p = jax.jit(
+        lambda s: step_frame(s, parr, params, controls, interpret=False)[0]
+    )
+    sx, sp = ts.init_state(blob), ts.init_state(blob)
+    for _ in range(6):
+        sx, _ = step_x(sx, arrx, params, controls)
+        sp = step_p(sp)
+    np.testing.assert_allclose(sp.pos, sx.pos, atol=5e-5)
+
+
+def test_polar_pieces_rate_floor():
+    """Single connected unstructured ~1M-tet mesh: <16 ms/substep (>60 Hz,
+    VERDICT r2 item 3 'done' criterion — the XLA polar engine reads 71 ms
+    on this shape)."""
+    from tetsim_tpu.kernels.polar_pieces import build_pieces_arrays, step_frame
+
+    blob = ts.ellipsoid_mesh(68, radii=(0.68,) * 3, center=(0.0, 0.75, 0.0))
+    arr = build_pieces_arrays(blob)
+    params = ts.PhysicsParams(num_substeps=1)
+    controls = ts.Controls.none()
+
+    def runner(frames):
+        @jax.jit
+        def run(st):
+            def body(s, _):
+                s = step_frame(s, arr, params, controls, interpret=False)[0]
+                return s, None
+
+            s, _ = jax.lax.scan(body, st, None, length=frames)
+            return s
+
+        return run
+
+    k1, k2 = 20, 120
+    per_frame = _two_point_rate(
+        runner(k1), runner(k2), k1, k2, ts.init_state(blob)
+    )
+    assert per_frame < 16e-3, (
+        f"1M-tet pieces substep regressed: {per_frame*1e3:.2f} ms"
+    )
+
+
 def test_long_run_stability(dragon):
     """Soak: 10,000 frames (50k substeps) of the fused dragon kernel and
     2,000 substeps of the 1M-tet stencil stay finite with bounded energy —

@@ -231,6 +231,55 @@ def _make_kernel(num_substeps: int, L: int, C: int, R: int, B: int,
     return kernel
 
 
+def _pallas_step_call(s, B, b, vmem_limit, num_substeps, interpret):
+    """Build the frame pallas_call for B bodies in b-body blocks.
+
+    Grid over body blocks: each grid step runs the WHOLE frame for one
+    block of b bodies while the Pallas pipeline streams the next block's
+    state HBM->VMEM — the batch size is not VMEM-gated (round-1 cap was
+    32 dragons total; now 32 per block, any blocks).  Index tables / tet
+    constants use a constant index map, so their VMEM buffers are fetched
+    once and revalidated, not re-DMAed.  Shared by the single-device step
+    and the shard_map'd data-parallel path (each device invokes this with
+    its LOCAL body count)."""
+    kernel = _make_kernel(
+        num_substeps, s.L, s.C, s.R, b, s.gather_tiles, s.scatter_tiles
+    )
+    n_blk = B // b
+
+    def stat(*shape):
+        return pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blk,),
+        out_shape=jax.ShapeDtypeStruct((9, B, s.R), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (9, b, s.R), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            stat(s.L, 8, s.R),
+            stat(s.L, 8, s.R),
+            stat(s.L, 9, s.C),
+            stat(s.L, s.C),
+            stat(s.L, 4, s.C),
+        ],
+        out_specs=pl.BlockSpec(
+            (9, b, s.R), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        input_output_aliases={3: 0},  # state buffer reused as output
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit,
+        ),
+        interpret=interpret,
+    )
+
+
 class FusedGSBody:
     """Batched-body stepping through the fused kernel.
 
@@ -303,6 +352,8 @@ class FusedGSBody:
 
             interpret = _jax.default_backend() != "tpu"
         self.interpret = interpret
+        self._shard_cfg = None
+        self._sharded_cache = {}
         s = self.sched
         self._ids = jnp.asarray(np.repeat(s.ids[:, None, :], 8, axis=1))
         self._inv = jnp.asarray(np.repeat(s.inv[:, None, :], 8, axis=1))
@@ -350,59 +401,102 @@ class FusedGSBody:
         jax.jit, static_argnames=("self", "num_substeps", "interpret")
     )
     def _step(self, state, par, gid, gpos, num_substeps, interpret):
-        s = self.sched
-        b = self.B_blk
-        kernel = _make_kernel(
-            num_substeps, s.L, s.C, s.R, b, s.gather_tiles, s.scatter_tiles
-        )
-        # Grid over body blocks: each grid step runs the WHOLE frame for one
-        # block of b bodies while the Pallas pipeline streams the next
-        # block's state HBM->VMEM — the batch size is no longer VMEM-gated
-        # (round-1 cap was 32 dragons total; now 32 per block, any blocks).
-        # Index tables / tet constants use a constant index map, so their
-        # VMEM buffers are fetched once and revalidated, not re-DMAed.
-        n_blk = self.B // b
-
-        def stat(*shape):
-            return pl.BlockSpec(
-                shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
-            )
-
-        return pl.pallas_call(
-            kernel,
-            grid=(n_blk,),
-            out_shape=jax.ShapeDtypeStruct((9, self.B, s.R), jnp.float32),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((b, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (9, b, s.R), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-                ),
-                stat(s.L, 8, s.R),
-                stat(s.L, 8, s.R),
-                stat(s.L, 9, s.C),
-                stat(s.L, s.C),
-                stat(s.L, 4, s.C),
-            ],
-            out_specs=pl.BlockSpec(
-                (9, b, s.R), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            ),
-            input_output_aliases={3: 0},  # state buffer reused as output
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=self._vmem_limit,
-            ),
-            interpret=interpret,
-        )(par, gid, gpos, state, self._ids, self._inv, self._irp, self._irv, self._imc)
+        return _pallas_step_call(
+            self.sched, self.B, self.B_blk, self._vmem_limit,
+            num_substeps, interpret,
+        )(par, gid, gpos, state, self._ids, self._inv, self._irp,
+          self._irv, self._imc)
 
     def step(self, params: PhysicsParams, frames: int = 1):
         par = self._params_vec(params)
-        for _ in range(frames):
-            self.state = self._step(
-                self.state, par, self.grab_id, self.grab_pos,
-                params.num_substeps, self.interpret,
+        step = (
+            self._sharded_step(params.num_substeps)
+            if self._shard_cfg is not None
+            else functools.partial(
+                self._step,
+                num_substeps=params.num_substeps, interpret=self.interpret,
             )
+        )
+        for _ in range(frames):
+            self.state = step(self.state, par, self.grab_id, self.grab_pos)
         return self.state
+
+    # -- multi-chip: data-parallel body sharding ------------------------------
+    def shard(self, mesh, axis="body"):
+        """Distribute the body batch over ``mesh``'s ``axis`` (name or tuple
+        of names) — pure data parallelism, zero collectives (bodies are
+        independent; SURVEY.md §2.5 multi-body x multi-chip).  Tables are
+        replicated; state/controls shard on the body axis.  Subsequent
+        step() calls run under shard_map."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        names = (axis,) if isinstance(axis, str) else tuple(axis)
+        d = 1
+        for n in names:
+            d *= mesh.shape[n]
+        b_loc = self.B // d
+        blk = min(self.B_blk, b_loc)
+        if self.B % d != 0 or b_loc % 8 != 0 or b_loc % blk != 0:
+            raise ValueError(
+                f"batch of {self.B} bodies must split across {d} devices "
+                "into whole 8-body sublane blocks; pad num_bodies"
+            )
+        self._shard_cfg = (mesh, names, b_loc, blk)
+        self._sharded_cache = {}
+        body_sp = NamedSharding(mesh, P(None, names))
+        ctrl_sp = NamedSharding(mesh, P(names))
+        rep = NamedSharding(mesh, P())
+        self.state = jax.device_put(self.state, body_sp)
+        self.grab_id = jax.device_put(self.grab_id, ctrl_sp)
+        self.grab_pos = jax.device_put(self.grab_pos, ctrl_sp)
+        for t in ("_ids", "_inv", "_irp", "_irv", "_imc"):
+            setattr(self, t, jax.device_put(getattr(self, t), rep))
+        return self
+
+    def _sharded_step(self, num_substeps: int):
+        if num_substeps in self._sharded_cache:
+            return self._sharded_cache[num_substeps]
+        mesh, names, b_loc, blk = self._shard_cfg
+        call = _pallas_step_call(
+            self.sched, b_loc, blk, self._vmem_limit,
+            num_substeps, self.interpret,
+        )
+
+        from jax.sharding import PartitionSpec as P
+
+        body = P(None, names)
+        ctrl = P(names)
+        rep = P()
+        sm = jax.shard_map(
+            lambda st, par, gid, gpos, ids, inv, irp, irv, imc: call(
+                par, gid, gpos, st, ids, inv, irp, irv, imc
+            ),
+            mesh=mesh,
+            in_specs=(body, rep, ctrl, ctrl) + (rep,) * 5,
+            out_specs=body,
+            check_vma=False,
+        )
+
+        @jax.jit
+        def step(state, par, gid, gpos):
+            return sm(
+                state, par, gid, gpos,
+                self._ids, self._inv, self._irp, self._irv, self._imc,
+            )
+
+        if mesh.devices.flat[0].platform == "cpu":
+            # serialize dispatch on the CPU test backend (see
+            # parallel/sharding.py: XLA-CPU's in-process communicator
+            # deadlocks under interleaved async dispatches)
+            def step_sync(*a):
+                out = step(*a)
+                jax.block_until_ready(out)
+                return out
+
+            self._sharded_cache[num_substeps] = step_sync
+        else:
+            self._sharded_cache[num_substeps] = step
+        return self._sharded_cache[num_substeps]
 
     # -- views ---------------------------------------------------------------
     def positions(self) -> np.ndarray:

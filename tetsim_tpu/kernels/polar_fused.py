@@ -332,6 +332,62 @@ def _make_kernel(num_substeps, rp, rt, K, B, gather_tiles, scatter_tiles,
     return kernel
 
 
+def _pallas_step_call(s, B, b, t_tiles, vmem_limit, num_substeps, interpret):
+    """Build the frame pallas_call for a batch of B bodies in b-body blocks.
+
+    Shared by the single-device step and the shard_map'd data-parallel
+    path (each device invokes this with its LOCAL body count)."""
+    kernel = _make_kernel(
+        num_substeps, s.rp, s.rt, s.valence, b,
+        s.gather_tiles, s.scatter_tiles, t_tiles,
+    )
+    n_blk = B // b
+
+    def stat(*shape):
+        return pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blk,),
+        out_shape=[
+            jax.ShapeDtypeStruct((9, B, s.rp), jnp.float32),
+            jax.ShapeDtypeStruct((4, B, s.rt), jnp.float32),
+        ],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (9, b, s.rp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (4, b, s.rt), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            stat(4, 8, s.rt),
+            stat(s.valence, 8, s.rp),
+            stat(12, s.rt),
+            stat(1, s.rt),
+            stat(1, s.rp),
+            stat(1, s.rp),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (9, b, s.rp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (4, b, s.rt), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit,
+        ),
+        interpret=interpret,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batched-body API (mirrors kernels/gs_fused.FusedGSBody)
 # ---------------------------------------------------------------------------
@@ -401,6 +457,8 @@ class FusedPolarBody:
 
             interpret = _jax.default_backend() != "tpu"
         self.interpret = interpret
+        self._shard_cfg = None
+        self._sharded_cache = {}
         self._ids = jnp.asarray(s.ids)
         self._inc = jnp.asarray(s.inc)
         self._rc = jnp.asarray(s.rc)
@@ -449,56 +507,9 @@ class FusedPolarBody:
         jax.jit, static_argnames=("self", "num_substeps", "interpret")
     )
     def _step(self, state, quats, par, gid, gpos, num_substeps, interpret):
-        s = self.sched
-        b = self.B_blk
-        kernel = _make_kernel(
-            num_substeps, s.rp, s.rt, s.valence, b,
-            s.gather_tiles, s.scatter_tiles, self.t_tiles,
-        )
-        n_blk = self.B // b
-
-        def stat(*shape):
-            return pl.BlockSpec(
-                shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
-            )
-
-        return pl.pallas_call(
-            kernel,
-            grid=(n_blk,),
-            out_shape=[
-                jax.ShapeDtypeStruct((9, self.B, s.rp), jnp.float32),
-                jax.ShapeDtypeStruct((4, self.B, s.rt), jnp.float32),
-            ],
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((b, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (9, b, s.rp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (4, b, s.rt), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-                ),
-                stat(4, 8, s.rt),
-                stat(s.valence, 8, s.rp),
-                stat(12, s.rt),
-                stat(1, s.rt),
-                stat(1, s.rp),
-                stat(1, s.rp),
-            ],
-            out_specs=[
-                pl.BlockSpec(
-                    (9, b, s.rp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (4, b, s.rt), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-                ),
-            ],
-            input_output_aliases={3: 0, 4: 1},
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=self._vmem_limit,
-            ),
-            interpret=interpret,
+        return _pallas_step_call(
+            self.sched, self.B, self.B_blk, self.t_tiles,
+            self._vmem_limit, num_substeps, interpret,
         )(
             par, gid, gpos, state, quats,
             self._ids, self._inc, self._rc, self._wvol,
@@ -507,12 +518,108 @@ class FusedPolarBody:
 
     def step(self, params: PhysicsParams, frames: int = 1):
         par = self._params_vec(params)
+        step = (
+            self._sharded_step(params.num_substeps)
+            if self._shard_cfg is not None
+            else functools.partial(
+                self._step,
+                num_substeps=params.num_substeps, interpret=self.interpret,
+            )
+        )
         for _ in range(frames):
-            self.state, self.quats = self._step(
-                self.state, self.quats, par, self.grab_id, self.grab_pos,
-                params.num_substeps, self.interpret,
+            self.state, self.quats = step(
+                self.state, self.quats, par, self.grab_id, self.grab_pos
             )
         return self.state
+
+    # -- multi-chip: data-parallel body sharding ------------------------------
+    def shard(self, mesh, axis="body"):
+        """Distribute the body batch over ``mesh``'s ``axis`` (name or tuple
+        of names) — pure data parallelism, zero collectives: bodies are
+        independent, so each device runs the SAME fused kernel on its own
+        block of bodies (SURVEY.md §2.5 multi-body x multi-chip; the
+        reference's physicsScene.softBodies list scaled across chips).
+        Tables are replicated; state/controls are sharded on the body axis.
+        Subsequent step() calls run under shard_map."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        names = (axis,) if isinstance(axis, str) else tuple(axis)
+        d = 1
+        for n in names:
+            d *= mesh.shape[n]
+        b_loc = self.B // d
+        # the per-device block may be smaller than the single-device one
+        # (same VMEM budget, fewer bodies per device)
+        blk = min(self.B_blk, b_loc)
+        if self.B % d != 0 or b_loc % 8 != 0 or b_loc % blk != 0:
+            raise ValueError(
+                f"batch of {self.B} bodies must split across {d} devices "
+                "into whole 8-body sublane blocks; pad num_bodies"
+            )
+        self._shard_cfg = (mesh, names, b_loc, blk)
+        self._sharded_cache = {}
+        body_sp = NamedSharding(mesh, P(None, names))
+        ctrl_sp = NamedSharding(mesh, P(names))
+        rep = NamedSharding(mesh, P())
+        self.state = jax.device_put(self.state, body_sp)
+        self.quats = jax.device_put(self.quats, body_sp)
+        self.grab_id = jax.device_put(self.grab_id, ctrl_sp)
+        self.grab_pos = jax.device_put(self.grab_pos, ctrl_sp)
+        for t in ("_ids", "_inc", "_rc", "_wvol", "_movw", "_invden"):
+            setattr(self, t, jax.device_put(getattr(self, t), rep))
+        return self
+
+    def _sharded_step(self, num_substeps: int):
+        if num_substeps in self._sharded_cache:
+            return self._sharded_cache[num_substeps]
+        mesh, names, b_loc, blk = self._shard_cfg
+        call = _pallas_step_call(
+            self.sched, b_loc, blk, self.t_tiles,
+            self._vmem_limit, num_substeps, self.interpret,
+        )
+
+        def local(state, quats, par, gid, gpos, ids, inc, rc, wvol, movw,
+                  invden):
+            new_state, new_quats = call(
+                par, gid, gpos, state, quats, ids, inc, rc, wvol, movw,
+                invden,
+            )
+            return new_state, new_quats
+
+        from jax.sharding import PartitionSpec as P
+
+        body = P(None, names)
+        ctrl = P(names)
+        rep = P()
+        sm = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(body, body, rep, ctrl, ctrl) + (rep,) * 6,
+            out_specs=(body, body),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def step(state, quats, par, gid, gpos):
+            return sm(
+                state, quats, par, gid, gpos,
+                self._ids, self._inc, self._rc, self._wvol,
+                self._movw, self._invden,
+            )
+
+        if mesh.devices.flat[0].platform == "cpu":
+            # serialize dispatch on the CPU test backend (XLA-CPU's
+            # in-process communicator deadlocks under interleaved async
+            # dispatches; see parallel/sharding.py)
+            def step_sync(*a):
+                out = step(*a)
+                jax.block_until_ready(out)
+                return out
+
+            self._sharded_cache[num_substeps] = step_sync
+        else:
+            self._sharded_cache[num_substeps] = step
+        return self._sharded_cache[num_substeps]
 
     # -- views ----------------------------------------------------------------
     def positions(self) -> np.ndarray:

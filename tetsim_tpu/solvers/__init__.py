@@ -31,6 +31,7 @@ ENGINES = {
 # avoid a package-import cycle (kernels.polar_stencil imports solvers).
 _LAZY_ENGINES = {
     "polar_grid_pallas": "tetsim_tpu.kernels.polar_stencil",
+    "polar_pieces": "tetsim_tpu.kernels.polar_pieces",
 }
 
 
