@@ -27,7 +27,7 @@ def main():
     from tetsim_tpu.solvers import get_engine
 
     t0 = time.perf_counter()
-    if engine == "polar_pieces":
+    if engine.startswith("polar_pieces"):
         # the single-connected-UNSTRUCTURED-mesh workload (an irregular
         # blob, no exploitable grid stencil): n=68 -> ~987k tets
         mesh = ts.ellipsoid_mesh(
@@ -49,13 +49,13 @@ def main():
         from tetsim_tpu.solvers.neohookean_grid import build_nh_grid_arrays
 
         arr = build_nh_grid_arrays(mesh, (n, n, n))
-    elif engine == "polar_pieces":
+    elif engine.startswith("polar_pieces"):
         from tetsim_tpu.kernels.polar_pieces import build_pieces_arrays
 
         arr = build_pieces_arrays(mesh)
         print(
             f"pieces: {arr.B} (rp={arr.rp}, rt={arr.rt}, K={arr.valence}, "
-            f"boundary={arr.bnd_pid.shape[0]}, "
+            f"shared={int((arr.lane_bnd >= 0).sum())}, "
             f"dup={arr.B*arr.rp/mesh.num_particles:.2f}x lanes)",
             file=sys.stderr,
         )
@@ -72,9 +72,18 @@ def main():
     # sim throughput without the per-frame SimState layout conversion
     packed_mode = engine.endswith("+packed")
     if packed_mode:
-        from tetsim_tpu.kernels.polar_stencil import make_frame_stepper
+        if engine.startswith("polar_pieces"):
+            from tetsim_tpu.kernels.polar_pieces import make_pieces_stepper
 
-        pack, step_packed, unpack, _ = make_frame_stepper(arr, interpret=False)
+            pack, step_packed, unpack, _ = make_pieces_stepper(
+                arr, interpret=False
+            )
+        else:
+            from tetsim_tpu.kernels.polar_stencil import make_frame_stepper
+
+            pack, step_packed, unpack, _ = make_frame_stepper(
+                arr, interpret=False
+            )
         state = pack(state, params)
 
         def step(s, arr_, params_, controls_):

@@ -22,8 +22,8 @@ def main():
     arr = pp.build_pieces_arrays(mesh, tets_per_piece=tpp)
     print(
         f"mesh {mesh.num_tets} tets; pieces {arr.B} rp={arr.rp} rt={arr.rt} "
-        f"K={arr.valence} bnd={arr.bnd_pid.shape[0]} "
-        f"J={arr.bnd_inst.shape[1]} build {time.perf_counter()-t0:.0f}s",
+        f"K={arr.valence} tiers={arr.tier_counts} "
+        f"build {time.perf_counter()-t0:.0f}s",
         flush=True,
     )
     # union-size diagnostics (kernel gather cost driver)
@@ -44,11 +44,13 @@ def main():
         arr.gather_tiles, arr.scatter_tiles, arr.t_tiles, False,
     )
 
-    # kernel-only inputs
-    pos3 = jnp.concatenate(
-        [jnp.asarray(state.pos), jnp.zeros((1, 3), jnp.float32)]
-    )
-    lp = jnp.moveaxis(pos3[arr.g2l_flat].reshape(arr.B, arr.rp, 3), -1, 0)
+    # kernel-only inputs (per-component planes)
+    def to_local(comp):
+        padded = jnp.concatenate([comp, jnp.zeros((1,), comp.dtype)])
+        return padded[arr.g2l_flat].reshape(arr.B, arr.rp)
+
+    pos = jnp.asarray(state.pos)
+    lx, ly, lz = (to_local(pos[:, c]) for c in range(3))
     q = pp._quats_to_pieces(state.quats, arr)
 
     def two_point(make_run, x, k1=20, k2=120):
@@ -71,18 +73,40 @@ def main():
         @jax.jit
         def run(carry):
             def body(c, _):
-                lp_, q_ = c
-                num, q2 = call(lp_, q_, arr.ids, arr.inc, arr.rc, arr.wvol)
+                lx_, ly_, lz_, q_ = c
+                nx_, ny_, nz_, q2 = call(
+                    lx_, ly_, lz_, q_, arr.ids, arr.inc, arr.rc, arr.wvol
+                )
                 # feed num back in as positions to keep a data dependence
-                return (num, q2), None
+                return (nx_, ny_, nz_, q2), None
 
             c, _ = jax.lax.scan(body, carry, None, length=k)
             return c
 
         return run
 
-    tk = two_point(kernel_runner, (lp, q))
+    tk = two_point(kernel_runner, (lx, ly, lz, q))
     print(f"kernel-only: {tk*1e3:.2f} ms/substep", flush=True)
+
+    pack, step, unpack, _ = pp.make_pieces_stepper(arr, interpret=False)
+    packed0 = pack(state, params)
+
+    def packed_runner(k):
+        @jax.jit
+        def run(st):
+            def body(s, _):
+                return step(s, params, controls), None
+
+            s, _ = jax.lax.scan(body, st, None, length=k)
+            return s
+
+        return run
+
+    tp = two_point(packed_runner, packed0)
+    print(
+        f"packed substep: {tp*1e3:.2f} ms  (glue = {max(tp-tk,0)*1e3:.2f} ms)",
+        flush=True,
+    )
 
     def full_runner(k):
         @jax.jit
@@ -98,7 +122,7 @@ def main():
 
     tf = two_point(full_runner, state)
     print(
-        f"full substep: {tf*1e3:.2f} ms  (glue = {max(tf-tk,0)*1e3:.2f} ms)",
+        f"step_frame (1 sub/frame, converts per frame): {tf*1e3:.2f} ms",
         flush=True,
     )
 

@@ -225,5 +225,5 @@ def test_surfaced_grid_body_in_world_and_viewer():
     w.step()
     view = _View(b)
     assert view.n_vis > 0 and view.n_tris > 0
-    v, n = view.surface_data(view.pos_device())
-    assert v.shape == (view.n_vis, 3) and np.isfinite(v).all()
+    vn = b._surface.render_data(view.pos_device())
+    assert vn.shape == (2, view.n_vis, 3) and np.isfinite(vn).all()

@@ -35,14 +35,28 @@ def test_partition_covers_mesh(blob, blob_arr):
     seen = seen[seen < blob.num_tets]
     assert len(seen) == blob.num_tets
     assert len(np.unique(seen)) == blob.num_tets
-    # every particle has an owner instance; instances map back correctly
+    # every particle has an owner instance; completion tiers cover every
+    # shared lane's instances exactly once, all mapping to one particle
     g2l = np.asarray(s.g2l).reshape(-1)
     own = np.asarray(s.owner_inst)
     assert np.array_equal(g2l[own], np.arange(blob.num_particles))
-    for i, p in enumerate(np.asarray(s.bnd_pid)):
-        for inst in np.asarray(s.bnd_inst)[i]:
-            if inst >= 0:
-                assert g2l[inst] == p
+    tiers = []
+    for j, c in enumerate(s.tier_counts):
+        inst = np.asarray(s.bnd_inst)[j, :c]
+        tiers.append(inst)
+        # tier j instances of boundary row i all belong to the same pid
+        if j > 0:
+            assert np.array_equal(
+                g2l[inst], g2l[np.asarray(s.bnd_inst)[0, :c]]
+            )
+    lane_bnd = np.asarray(s.lane_bnd)
+    shared = np.nonzero(lane_bnd >= 0)[0]
+    # tier multiset == the set of shared lanes, each exactly once
+    assert np.array_equal(np.sort(np.concatenate(tiers)), shared)
+    # every shared lane points at the boundary row holding its pid
+    assert np.array_equal(
+        g2l[shared], g2l[np.asarray(s.bnd_inst)[0, lane_bnd[shared]]]
+    )
 
 
 def test_parity_with_xla_polar(blob, blob_arr):

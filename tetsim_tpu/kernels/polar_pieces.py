@@ -20,10 +20,18 @@ like that workload:
     *different* tables per sublane;
   * the kernel runs the solve only (corner gather -> covariance -> Mueller
     extractRotation -> goal deltas -> piece-local scatter inversion) and
-    outputs per-piece partial numerators; particles shared between pieces
-    (the piece boundaries — a few % after RCM) are completed by a cheap
-    XLA pass: owner-instance gather + boundary scatter-add.  Predict,
-    apply, collide, grab and velocity run as global elementwise XLA.
+    outputs per-piece partial numerators;
+  * state is LOCAL-PRIMARY: positions/velocities live in piece planes
+    across substeps (duplicated boundary lanes stay consistent because
+    every other phase is elementwise and deterministic); the only
+    cross-piece communication is the boundary-numerator completion —
+    compact prefix-tier gathers on [*,3]-wide rows (measured 4 ns/row)
+    sized exactly to the instance count, plus one read-back.  Predict,
+    apply, collide, grab, velocity run elementwise on the piece planes;
+    SimState materializes only at the frame/IO boundary.
+
+Measured at 987k tets (single chip): 6.56 ms/substep sustained = 152 Hz —
+10.8x the XLA engine; kernel 3.66 ms + completion/elementwise 2.90 ms.
 
 Same math as solvers/polar.py (= the reference GPU path, SoftbodyGPU.js
 passes 3-5: extractRotation at :122-139, volume-weighted averaging at
@@ -71,8 +79,9 @@ class PiecesSchedule:
     tet_l2g: np.ndarray  # i32 [B, rt]     local tet lane -> global tet (M pad)
     tet_inst: np.ndarray  # i32 [M]        global tet -> flat piece*rt + lane
     owner_inst: np.ndarray  # i32 [N]      first instance (piece*rp + lane)
-    bnd_pid: np.ndarray  # i32 [Sb]        particles with >1 instance
-    bnd_inst: np.ndarray  # i32 [Sb, J]    2nd..Jth instances, -1 pad
+    bnd_inst: np.ndarray  # i32 [Jmax, Sb] j-th instance of boundary pcl i
+    tier_counts: tuple    # [Jmax] prefix counts (sorted by J descending)
+    lane_bnd: np.ndarray  # i32 [B*rp]     compact boundary row or -1
     # global per-particle constants
     invden: np.ndarray   # f32 [N]
     movw: np.ndarray     # f32 [N]
@@ -201,16 +210,33 @@ def build_pieces_schedule(
         for i, g in enumerate(locals_):
             instances[int(g)].append(p * rp + i)
 
-    jmax = max(len(v) for v in instances)
+    # Completion tables, COMPACT boundary space.  Measured gather cost is
+    # ~6-12 ns per row (not per byte), so the design minimizes gathered
+    # ROWS: boundary particles (>1 instance) are sorted by instance count
+    # DESCENDING, each completion tier j then gathers only the prefix
+    # [0:C_j) that actually has a j-th instance — total gathered rows =
+    # total instances, zero masked waste.  Interior lanes are already
+    # complete (all incident tets in-piece) and never touched.
     owner_inst = np.zeros(n, np.int32)
-    bnd = [p for p in range(n) if len(instances[p]) > 1]
-    bnd_pid = np.asarray(bnd, np.int32)
-    bnd_inst = np.full((len(bnd), max(jmax - 1, 1)), -1, np.int32)
     for p in range(n):
         owner_inst[p] = instances[p][0]
+    bnd = [p for p in range(n) if len(instances[p]) > 1]
+    bnd.sort(key=lambda p: -len(instances[p]))
+    sb = len(bnd)
+    jmax = max((len(instances[p]) for p in bnd), default=0)
+    bnd_inst = np.zeros((max(jmax, 1), max(sb, 1)), np.int32)
+    tier_counts = []
+    for j in range(jmax):
+        c = sum(1 for p in bnd if len(instances[p]) > j)
+        tier_counts.append(c)
+        for i in range(c):
+            bnd_inst[j, i] = instances[bnd[i]][j]
+    # every lane of a boundary particle reads the completed total back
+    # from the compact boundary row; -1 marks interior/padded lanes
+    lane_bnd = np.full(b_pad * rp, -1, np.int32)
     for i, p in enumerate(bnd):
-        rest = instances[p][1:]
-        bnd_inst[i, : len(rest)] = rest
+        for inst in instances[p]:
+            lane_bnd[inst] = i
 
     # global scatter denominator + movable mask (polar engine semantics)
     den = np.zeros(n, np.float64)
@@ -236,7 +262,8 @@ def build_pieces_schedule(
     return PiecesSchedule(
         ids=ids, inc=inc, rc=rc12, wvol=wvol,
         g2l=g2l, tet_l2g=tet_l2g, tet_inst=tet_inst,
-        owner_inst=owner_inst, bnd_pid=bnd_pid, bnd_inst=bnd_inst,
+        owner_inst=owner_inst, bnd_inst=bnd_inst,
+        tier_counts=tuple(tier_counts), lane_bnd=lane_bnd,
         invden=invden, movw=movw,
         num_particles=n, num_tets=m, n_pieces=n_pieces, B=b_pad,
         rp=rp, rt=rt, valence=kmax,
@@ -273,16 +300,20 @@ def _make_solve_kernel(rp, rt, K, gather_tiles, scatter_tiles, t_tiles):
     B = 8
 
     def kernel(
-        pos_ref,   # VMEM f32 [3, B, rp]  local corner positions
+        px_ref,    # VMEM f32 [B, rp]  local corner positions (per comp:
+        py_ref,    #   three separate planes — a [B,rp,3] or [3,B,rp] form
+        pz_ref,    #   would cost a device relayout on every substep)
         quat_ref,  # VMEM f32 [4, B, rt]  (aliased with qout)
         ids_ref,   # VMEM i32 [4, B, rt]
         inc_ref,   # VMEM i32 [K, B, rp]
         rc_ref,    # VMEM f32 [12, B, rt]
         wvol_ref,  # VMEM f32 [B, rt]
-        num_ref,   # VMEM f32 [3, B, rp] out
+        numx_ref,  # VMEM f32 [B, rp] out
+        numy_ref,  # VMEM f32 [B, rp] out
+        numz_ref,  # VMEM f32 [B, rp] out
         qout_ref,  # VMEM f32 [4, B, rt] out
     ):
-        X, Y, Z = pos_ref[0], pos_ref[1], pos_ref[2]
+        X, Y, Z = px_ref[:], py_ref[:], pz_ref[:]
         for k in range(4):
             qout_ref[k] = quat_ref[k]
         n_chunks = -(-(rt // 128) // t_tiles)
@@ -353,9 +384,9 @@ def _make_solve_kernel(rp, rt, K, gather_tiles, scatter_tiles, t_tiles):
             numx = numx + jnp.where(live, _ta_tiled(dxf, idx, st), 0.0)
             numy = numy + jnp.where(live, _ta_tiled(dyf, idx, st), 0.0)
             numz = numz + jnp.where(live, _ta_tiled(dzf, idx, st), 0.0)
-        num_ref[0] = numx
-        num_ref[1] = numy
-        num_ref[2] = numz
+        numx_ref[:] = numx
+        numy_ref[:] = numy
+        numz_ref[:] = numz
 
     return kernel
 
@@ -371,25 +402,26 @@ def _solve_call(s: PiecesSchedule, t_tiles: int, interpret: bool):
             (lead, 8, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         )
 
+    def plane(width):
+        return pl.BlockSpec(
+            (8, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
     return pl.pallas_call(
         kernel,
         grid=(n_blk,),
-        out_shape=[
-            jax.ShapeDtypeStruct((3, s.B, s.rp), jnp.float32),
-            jax.ShapeDtypeStruct((4, s.B, s.rt), jnp.float32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((s.B, s.rp), jnp.float32)] * 3
+        + [jax.ShapeDtypeStruct((4, s.B, s.rt), jnp.float32)],
         in_specs=[
-            spec(3, s.rp),
+            plane(s.rp), plane(s.rp), plane(s.rp),
             spec(4, s.rt),
             spec(4, s.rt),
             spec(s.valence, s.rp),
             spec(12, s.rt),
-            pl.BlockSpec(
-                (8, s.rt), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
+            plane(s.rt),
         ],
-        out_specs=[spec(3, s.rp), spec(4, s.rt)],
-        input_output_aliases={1: 1},  # quats updated in place
+        out_specs=[plane(s.rp)] * 3 + [spec(4, s.rt)],
+        input_output_aliases={3: 3},  # quats updated in place
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_budget_bytes()[1],
         ),
@@ -403,7 +435,6 @@ def _solve_call(s: PiecesSchedule, t_tiles: int, interpret: bool):
 
 from flax import struct
 
-
 @struct.dataclass
 class PiecesArrays:
     """Device-side tables + static meta for the pieces engine."""
@@ -416,22 +447,26 @@ class PiecesArrays:
     rt: int = struct.field(pytree_node=False)
     valence: int = struct.field(pytree_node=False)
     t_tiles: int = struct.field(pytree_node=False)
+    tier_counts: tuple = struct.field(pytree_node=False)
     gather_tiles: tuple = struct.field(pytree_node=False)
     scatter_tiles: tuple = struct.field(pytree_node=False)
-    # traced tables
+    # traced kernel tables
     ids: jnp.ndarray = None
     inc: jnp.ndarray = None
     rc: jnp.ndarray = None
     wvol: jnp.ndarray = None
-    g2l_flat: jnp.ndarray = None     # i32 [B*rp]
+    # completion / conversion maps
+    g2l_flat: jnp.ndarray = None      # i32 [B*rp]
     tet_l2g_flat: jnp.ndarray = None  # i32 [B*rt]
-    tet_inst: jnp.ndarray = None     # i32 [M]
-    owner_inst: jnp.ndarray = None   # i32 [N]
-    bnd_pid: jnp.ndarray = None      # i32 [Sb]
-    bnd_inst: jnp.ndarray = None     # i32 [Sb, J]
-    inv_mass: jnp.ndarray = None     # f32 [N] (engine-contract name)
-    invden: jnp.ndarray = None       # f32 [N]
-    movw: jnp.ndarray = None         # f32 [N]
+    tet_inst: jnp.ndarray = None      # i32 [M]
+    owner_inst: jnp.ndarray = None    # i32 [N]
+    bnd_inst: jnp.ndarray = None      # i32 [Jmax, Sb]
+    lane_bnd: jnp.ndarray = None      # i32 [B*rp] (-1 interior)
+    # LOCAL per-lane constant planes (the substep never touches global
+    # arrays — minimizing gathered rows is the whole game, see build)
+    invden_l: jnp.ndarray = None  # f32 [B, rp]
+    movw_l: jnp.ndarray = None    # f32 [B, rp]
+    pid_l: jnp.ndarray = None     # i32 [B, rp] global pid (N on padding)
 
 
 def build_pieces_arrays(
@@ -441,12 +476,15 @@ def build_pieces_arrays(
     pinned=None,
 ) -> PiecesArrays:
     s = build_pieces_schedule(mesh, density, tets_per_piece, pinned)
-    _, _, _, im, _ = rest_state(mesh, density, pinned=pinned)
+    n = s.num_particles
+    invden_pad = np.concatenate([s.invden, np.zeros(1, np.float32)])
+    movw_pad = np.concatenate([s.movw, np.zeros(1, np.float32)])
     return PiecesArrays(
-        num_particles=s.num_particles,
+        num_particles=n,
         num_tets=s.num_tets,
         B=s.B, rp=s.rp, rt=s.rt, valence=s.valence,
         t_tiles=max(1, min(4, s.rt // 128)),
+        tier_counts=s.tier_counts,
         gather_tiles=s.gather_tiles,
         scatter_tiles=s.scatter_tiles,
         ids=jnp.asarray(s.ids),
@@ -457,75 +495,83 @@ def build_pieces_arrays(
         tet_l2g_flat=jnp.asarray(s.tet_l2g.reshape(-1)),
         tet_inst=jnp.asarray(s.tet_inst),
         owner_inst=jnp.asarray(s.owner_inst),
-        bnd_pid=jnp.asarray(s.bnd_pid),
         bnd_inst=jnp.asarray(s.bnd_inst),
-        inv_mass=jnp.asarray(im),
-        invden=jnp.asarray(s.invden),
-        movw=jnp.asarray(s.movw),
+        lane_bnd=jnp.asarray(s.lane_bnd),
+        invden_l=jnp.asarray(invden_pad[s.g2l]),
+        movw_l=jnp.asarray(movw_pad[s.g2l]),
+        pid_l=jnp.asarray(s.g2l),
     )
 
 
-def _substep_planes(carry, arr: PiecesArrays, params, dt, controls, call):
-    """One substep on global component planes + piece-layout quats."""
-    px, py, pz, vx, vy, vz, q = carry
-    movable = arr.movw > 0.0
+# ---------------------------------------------------------------------------
+# Local-primary stepping: state LIVES in piece planes across substeps
+# ---------------------------------------------------------------------------
+#
+# Per substep the only non-elementwise work is (a) the fused solve kernel
+# and (b) boundary completion over COMPACT tiers: gathered rows = exactly
+# the number of cross-piece instances (~2% x J of lanes), plus one
+# full-lane read-back.  Duplicated lanes (same particle in >1 piece)
+# receive identical elementwise updates, so they stay bitwise consistent;
+# only the solve numerator needs the cross-piece sum.
+
+
+def _substep_local(carry, arr: PiecesArrays, params, dt, controls, call):
+    lx, ly, lz, vx, vy, vz, q = carry
+    movable = arr.movw_l > 0.0
 
     # predict (common.predict semantics)
     vy = vy + params.gravity * dt
     vx = jnp.where(movable, vx, 0.0)
     vy = jnp.where(movable, vy, 0.0)
     vz = jnp.where(movable, vz, 0.0)
-    ppx, ppy, ppz = px, py, pz
-    px, py, pz = px + vx * dt, py + vy * dt, pz + vz * dt
+    plx, ply, plz = lx, ly, lz
+    lx, ly, lz = lx + vx * dt, ly + vy * dt, lz + vz * dt
 
-    # local corner positions: one [N+1,3] row gather, then piece planes
-    pos3 = jnp.stack([px, py, pz], axis=-1)
-    pos3 = jnp.concatenate([pos3, jnp.zeros((1, 3), pos3.dtype)])
-    lp = pos3[arr.g2l_flat].reshape(arr.B, arr.rp, 3)
-    lp = jnp.moveaxis(lp, -1, 0)  # [3, B, rp]
+    numx, numy, numz, q = call(
+        lx, ly, lz, q, arr.ids, arr.inc, arr.rc, arr.wvol
+    )
 
-    num, q = call(lp, q, arr.ids, arr.inc, arr.rc, arr.wvol)
+    # boundary completion: sum each shared particle's instances over the
+    # prefix tiers (rows sorted by instance count, no masked waste), then
+    # every shared lane reads its completed total back.  All gathers run
+    # on [*,3]-wide rows: measured 4.05 ns/row vs 7.14 for single-f32
+    # rows — 5x cheaper per element (see BENCHNOTES round 3).
+    sb = arr.bnd_inst.shape[1]
+    if sb and arr.tier_counts:
+        shared = arr.lane_bnd.reshape(arr.B, arr.rp) >= 0
+        numf3 = jnp.stack(
+            [numx.reshape(-1), numy.reshape(-1), numz.reshape(-1)], axis=-1
+        )
+        tot = numf3[arr.bnd_inst[0]]  # [Sb, 3]
+        for j, c in enumerate(arr.tier_counts[1:], start=1):
+            tot = tot.at[:c].add(numf3[arr.bnd_inst[j, :c]])
+        back = tot[jnp.maximum(arr.lane_bnd, 0)]  # [B*rp, 3]
+        numx = jnp.where(shared, back[:, 0].reshape(arr.B, arr.rp), numx)
+        numy = jnp.where(shared, back[:, 1].reshape(arr.B, arr.rp), numy)
+        numz = jnp.where(shared, back[:, 2].reshape(arr.B, arr.rp), numz)
 
-    # cross-piece completion: owner-instance gather + boundary add.
-    # ROW-major [X,3] gathers throughout: TPU row gathers cost ~2.5 ns/row
-    # regardless of width, while minor-axis (column) gathers on a [3, X]
-    # array relayout catastrophically.
-    flat = jnp.moveaxis(num, 0, -1).reshape(arr.B * arr.rp, 3)
-    own = flat[arr.owner_inst]  # [N, 3]
-    if arr.bnd_pid.shape[0]:
-        extra = jnp.zeros((arr.bnd_pid.shape[0], 3), jnp.float32)
-        for j in range(arr.bnd_inst.shape[1]):
-            inst = arr.bnd_inst[:, j]
-            live = inst >= 0
-            g = flat[jnp.maximum(inst, 0)]
-            extra = extra + jnp.where(live[:, None], g, 0.0)
-        own = own.at[arr.bnd_pid].add(extra)
+    lx = jnp.where(movable, lx + numx * arr.invden_l, lx)
+    ly = jnp.where(movable, ly + numy * arr.invden_l, ly)
+    lz = jnp.where(movable, lz + numz * arr.invden_l, lz)
 
-    px = jnp.where(movable, px + own[:, 0] * arr.invden, px)
-    py = jnp.where(movable, py + own[:, 1] * arr.invden, py)
-    pz = jnp.where(movable, pz + own[:, 2] * arr.invden, pz)
-
-    # collide (common.collide semantics)
-    px = jnp.clip(px, params.world_min[0], params.world_max[0])
-    py = jnp.clip(py, params.world_min[1], params.world_max[1])
-    pz = jnp.clip(pz, params.world_min[2], params.world_max[2])
-    below = py < 0.0
-    py = jnp.where(below, 0.0, py)
+    # collide (common.collide semantics) — elementwise, duplicate-safe
+    lx = jnp.clip(lx, params.world_min[0], params.world_max[0])
+    ly = jnp.clip(ly, params.world_min[1], params.world_max[1])
+    lz = jnp.clip(lz, params.world_min[2], params.world_max[2])
+    below = ly < 0.0
+    ly = jnp.where(below, 0.0, ly)
     k = jnp.minimum(1.0, dt * params.friction)
-    px = px + jnp.where(below, (ppx - px) * k, 0.0)
-    pz = pz + jnp.where(below, (ppz - pz) * k, 0.0)
+    lx = lx + jnp.where(below, (plx - lx) * k, 0.0)
+    lz = lz + jnp.where(below, (plz - lz) * k, 0.0)
 
-    # grab override (scalar id)
-    gid = controls.grab_id
-    n = px.shape[0]
-    pid = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
-    hit = pid == gid
-    px = jnp.where(hit, controls.grab_pos[0], px)
-    py = jnp.where(hit, controls.grab_pos[1], py)
-    pz = jnp.where(hit, controls.grab_pos[2], pz)
+    # grab override (scalar global pid; every lane of that particle pins)
+    hit = arr.pid_l == controls.grab_id
+    lx = jnp.where(hit, controls.grab_pos[0], lx)
+    ly = jnp.where(hit, controls.grab_pos[1], ly)
+    lz = jnp.where(hit, controls.grab_pos[2], lz)
 
-    vx, vy, vz = (px - ppx) / dt, (py - ppy) / dt, (pz - ppz) / dt
-    return (px, py, pz, vx, vy, vz, q), (ppx, ppy, ppz)
+    vx, vy, vz = (lx - plx) / dt, (ly - ply) / dt, (lz - plz) / dt
+    return (lx, ly, lz, vx, vy, vz, q), (plx, ply, plz)
 
 
 def _quats_to_pieces(quats, arr: PiecesArrays):
@@ -541,6 +587,75 @@ def _quats_from_pieces(q, arr: PiecesArrays):
     return flat[arr.tet_inst]
 
 
+def make_pieces_stepper(arr: PiecesArrays, interpret: bool | None = None):
+    """(pack, step, unpack, unpack_pos) over packed piece-plane state —
+    the sustained form (state converts to SimState only at I/O
+    boundaries, exactly like kernels/polar_stencil.make_frame_stepper)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    call = _solve_call_cached(
+        arr.B, arr.rp, arr.rt, arr.valence,
+        arr.gather_tiles, arr.scatter_tiles, arr.t_tiles, bool(interpret),
+    )
+
+    def to_local(comp):
+        padded = jnp.concatenate([comp, jnp.zeros((1,), comp.dtype)])
+        return padded[arr.g2l_flat].reshape(arr.B, arr.rp)
+
+    def pack(state: SimState, params: PhysicsParams):
+        del params
+        pos, vel = state.pos, state.vel
+        return (
+            to_local(pos[:, 0]), to_local(pos[:, 1]), to_local(pos[:, 2]),
+            to_local(vel[:, 0]), to_local(vel[:, 1]), to_local(vel[:, 2]),
+            _quats_to_pieces(state.quats, arr),
+        )
+
+    def step(packed, params: PhysicsParams, controls: Controls):
+        if controls.grab_id.ndim != 0:
+            raise NotImplementedError(
+                "polar_pieces supports the scalar grab_id form; use the "
+                "generic polar engine for multi-body vector grabs"
+            )
+        dt = params.dt
+
+        def body(carry, _):
+            carry, _prev = _substep_local(
+                carry, arr, params, dt, controls, call
+            )
+            return carry, None
+
+        packed, _ = jax.lax.scan(
+            body, packed, None, length=params.num_substeps
+        )
+        return packed
+
+    def unpack_pos(packed):
+        lx, ly, lz = packed[0], packed[1], packed[2]
+        own = arr.owner_inst
+        return jnp.stack(
+            [lx.reshape(-1)[own], ly.reshape(-1)[own], lz.reshape(-1)[own]],
+            axis=-1,
+        )
+
+    def unpack(packed, params: PhysicsParams) -> SimState:
+        lx, ly, lz, vx, vy, vz, q = packed
+        own = arr.owner_inst
+        pos = unpack_pos(packed)
+        vel = jnp.stack(
+            [vx.reshape(-1)[own], vy.reshape(-1)[own], vz.reshape(-1)[own]],
+            axis=-1,
+        )
+        return SimState(
+            pos=pos,
+            prev_pos=pos - vel * params.dt,
+            vel=vel,
+            quats=_quats_from_pieces(q, arr),
+        )
+
+    return pack, step, unpack, unpack_pos
+
+
 def step_frame(
     state: SimState,
     arr: PiecesArrays,
@@ -549,41 +664,15 @@ def step_frame(
     axis_name=None,
     interpret: bool | None = None,
 ):
-    """One frame = num_substeps piecewise-fused substeps (engine API)."""
+    """One frame = num_substeps piecewise-fused substeps (engine API;
+    converts SimState <-> piece planes at the frame boundary)."""
     del axis_name
-    if controls.grab_id.ndim != 0:
-        raise NotImplementedError(
-            "polar_pieces supports the scalar grab_id form; use the "
-            "generic polar engine for multi-body vector grabs"
-        )
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    call = _solve_call_cached(
-        arr.B, arr.rp, arr.rt, arr.valence,
-        arr.gather_tiles, arr.scatter_tiles, arr.t_tiles, bool(interpret),
+    pack, step, unpack, _ = make_pieces_stepper(arr, interpret)
+    packed = step(pack(state, params), params, controls)
+    # per-substep solver vol_err not computed (cost); NaN, not a fake 0
+    return unpack(packed, params), jnp.full(
+        (params.num_substeps,), jnp.nan, jnp.float32
     )
-    dt = params.dt
-    carry0 = (
-        state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
-        state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
-        _quats_to_pieces(state.quats, arr),
-    )
-
-    def body(carry_prev, _):
-        carry, _ = carry_prev
-        carry, prev = _substep_planes(carry, arr, params, dt, controls, call)
-        return (carry, prev), jnp.nan  # per-substep vol_err not computed
-
-    (carry, prev), diags = jax.lax.scan(
-        body, (carry0, carry0[:3]), None, length=params.num_substeps
-    )
-    px, py, pz, vx, vy, vz, q = carry
-    return state.replace(
-        pos=jnp.stack([px, py, pz], axis=-1),
-        prev_pos=jnp.stack(list(prev), axis=-1),
-        vel=jnp.stack([vx, vy, vz], axis=-1),
-        quats=_quats_from_pieces(q, arr),
-    ), diags
 
 
 def substep(state, arr, params, dt, controls, axis_name=None,
