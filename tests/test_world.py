@@ -245,3 +245,32 @@ def test_pinned_with_prebuilt_arrays_rejected(small_mesh):
     arr = ts.build_arrays(small_mesh, coloring=None)
     with pytest.raises(ValueError, match="pinned"):
         ts.World().add_body(small_mesh, engine="polar", arrays=arr, pinned=[0])
+
+
+def test_world_neohookean_grid_body():
+    """add_grid_body(engine='neohookean_grid'): the reference-fidelity
+    physics on the structured scale path, with working diagnostics."""
+    w = ts.World(ts.PhysicsParams(num_substeps=2))
+    b = w.add_grid_body((3, 2, 3), cell=0.25, origin=(0.0, 0.5, 0.0),
+                        engine="neohookean_grid")
+    w.step(3)
+    d = w.diagnostics()["body0"]
+    assert np.isfinite(b.state.pos).all() and not d["nan"]
+    assert {"volume_error", "kinetic_energy", "max_speed"} <= set(d)
+    assert abs(d["volume_error"]) < 0.2
+    gid = b.start_grab([0.4, 1.2, 0.4])
+    assert gid >= 0
+    w.step(2)
+    b.end_grab()
+
+
+def test_world_polar_pieces_body():
+    """Body(engine='polar_pieces') auto-builds pieces arrays; steps and
+    reports diagnostics (no volume_error — pieces carry no tet table)."""
+    mesh = ts.ellipsoid_mesh(6, radii=(0.3, 0.25, 0.3), center=(0, 0.6, 0))
+    w = ts.World(ts.PhysicsParams(num_substeps=2))
+    b = w.add_body(mesh, engine="polar_pieces", coloring=None)
+    w.step(3)
+    d = w.diagnostics()["body0"]
+    assert np.isfinite(b.state.pos).all() and not d["nan"]
+    assert "kinetic_energy" in d and "volume_error" not in d

@@ -116,7 +116,41 @@ def _grid_volume_error(state: SimState, garr):
 
 def summarize(state: SimState, arr, frame_diag=None) -> dict:
     from .solvers.polar_grid import GridArrays
+    from .solvers.neohookean_grid import NHGridArrays, _OFFSETS
+    from .kernels.polar_pieces import PiecesArrays
 
+    if isinstance(arr, PiecesArrays):
+        # pieces carry no global tet table; volume error is not computed
+        # (same omission policy as the fused stencil kernel's diag)
+        im = np.asarray(arr.inv_mass)
+        mass = np.where(im > 0, 1.0 / np.maximum(im, 1e-30), 0.0)
+        vel = np.asarray(state.vel)
+        out = {
+            "kinetic_energy": float(
+                0.5 * np.sum(mass * np.sum(vel**2, axis=-1))
+            ),
+            "max_speed": float(max_speed(state)),
+            "min_height": float(min_height(state)),
+            "nan": bool(jnp.isnan(state.pos).any()),
+        }
+        if frame_diag is not None:
+            sve = float(np.asarray(frame_diag)[-1])
+            if np.isfinite(sve):
+                out["solver_vol_error"] = sve
+        return out
+
+    if isinstance(arr, NHGridArrays):
+        # same stencil-structured volume error as GridArrays — adapt the
+        # static fields (corner order/rest volume are decoded identically)
+        arr = GridArrays(
+            dims=arr.dims,
+            corner_slab=arr.corner_slab,
+            slab_offsets=_OFFSETS,
+            rest_centered=None,
+            rest_volume=arr.rest_volume,
+            inv_mass=arr.inv_mass,
+            den=None,
+        )
     if isinstance(arr, GridArrays):
         im = np.asarray(arr.inv_mass).reshape(-1)
         mass = np.where(im > 0, 1.0 / np.maximum(im, 1e-30), 0.0)

@@ -467,6 +467,7 @@ class PiecesArrays:
     invden_l: jnp.ndarray = None  # f32 [B, rp]
     movw_l: jnp.ndarray = None    # f32 [B, rp]
     pid_l: jnp.ndarray = None     # i32 [B, rp] global pid (N on padding)
+    inv_mass: jnp.ndarray = None  # f32 [N] global (diagnostics/World)
 
 
 def build_pieces_arrays(
@@ -476,6 +477,7 @@ def build_pieces_arrays(
     pinned=None,
 ) -> PiecesArrays:
     s = build_pieces_schedule(mesh, density, tets_per_piece, pinned)
+    _, _, _, im, _ = rest_state(mesh, density, pinned=pinned)
     n = s.num_particles
     invden_pad = np.concatenate([s.invden, np.zeros(1, np.float32)])
     movw_pad = np.concatenate([s.movw, np.zeros(1, np.float32)])
@@ -500,6 +502,7 @@ def build_pieces_arrays(
         invden_l=jnp.asarray(invden_pad[s.g2l]),
         movw_l=jnp.asarray(movw_pad[s.g2l]),
         pid_l=jnp.asarray(s.g2l),
+        inv_mass=jnp.asarray(im),
     )
 
 

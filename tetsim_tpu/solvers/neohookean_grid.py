@@ -84,6 +84,7 @@ class NHGridArrays:
     inv_rest_volume: float = struct.field(pytree_node=False)
     rest_volume: float = struct.field(pytree_node=False)
     inv_mass_blocks: jnp.ndarray = None  # f32 [8, LHp]
+    inv_mass: jnp.ndarray = None  # f32 [Nv] flat (diagnostics/World)
 
     @property
     def num_particles(self) -> int:
@@ -181,6 +182,7 @@ def build_nh_grid_arrays(
         inv_rest_volume=irv,
         rest_volume=w32,
         inv_mass_blocks=jnp.asarray(imb),
+        inv_mass=jnp.asarray(inv_mass.reshape(-1)),
     )
 
 

@@ -140,12 +140,20 @@ class Body:
             # polar is Jacobi — no GS schedule needed (skip the host-side
             # coloring pass entirely)
             coloring = "ordered" if engine == "neohookean" else None
-        if engine in ("polar_grid", "polar_grid_pallas") and arrays is None:
+        if engine == "polar_pieces" and arrays is None:
+            from .kernels.polar_pieces import build_pieces_arrays
+
+            arrays = build_pieces_arrays(mesh, density=density, pinned=pinned)
+            pinned = None
+        if (
+            engine in ("polar_grid", "polar_grid_pallas", "neohookean_grid")
+            and arrays is None
+        ):
             raise ValueError(
-                "the polar_grid engine needs stencil arrays: pass "
-                "arrays=build_grid_arrays(mesh, (nx,ny,nz)) — the cube "
-                "dims are not derivable from a flat TetMesh (or use "
-                "World.add_grid_body)"
+                f"the {engine} engine needs stencil arrays: pass "
+                "arrays=build_grid_arrays(mesh, (nx,ny,nz)) (or "
+                "build_nh_grid_arrays) — the cube dims are not derivable "
+                "from a flat TetMesh (or use World.add_grid_body)"
             )
         if arrays is not None and pinned is not None:
             raise ValueError(
@@ -629,9 +637,10 @@ class World:
         sustained-throughput form: at 1M tets the per-frame SimState
         conversion alone costs more than the fused substep."""
         from .mesh import grid_mesh
-        from .solvers.polar_grid import build_grid_arrays
 
-        if engine not in ("polar_grid", "polar_grid_pallas"):
+        if engine not in (
+            "polar_grid", "polar_grid_pallas", "neohookean_grid"
+        ):
             raise ValueError(
                 f"add_grid_body runs the stencil engines, not {engine!r}"
             )
@@ -641,7 +650,18 @@ class World:
             from .mesh import with_boundary_surface
 
             mesh = with_boundary_surface(mesh)
-        arrays = build_grid_arrays(mesh, tuple(dims), density=d, pinned=pinned)
+        if engine == "neohookean_grid":
+            from .solvers.neohookean_grid import build_nh_grid_arrays
+
+            arrays = build_nh_grid_arrays(
+                mesh, tuple(dims), density=d, pinned=pinned
+            )
+        else:
+            from .solvers.polar_grid import build_grid_arrays
+
+            arrays = build_grid_arrays(
+                mesh, tuple(dims), density=d, pinned=pinned
+            )
         if packed:
             if engine != "polar_grid_pallas":
                 raise ValueError(
