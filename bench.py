@@ -166,6 +166,34 @@ def _bench_scale_1m():
     return per_substep
 
 
+def _bench_ordered(mesh, params):
+    """Exact-order fused GS (kernels/gs_ordered.py): the BASELINE config-1
+    trajectory-matching path at its measured serial floor (703 sequential
+    levels on the dragon — BENCHNOTES 'Exact-order fused GS')."""
+    from tetsim_tpu.kernels.gs_ordered import OrderedGSBody
+
+    body = OrderedGSBody(mesh, interpret=False)
+    k1, k2 = 20, 120
+
+    def timed(K, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            body.step(params, frames=K)
+            chk = float(np.asarray(body.state).sum())
+            best = min(best, time.perf_counter() - t0)
+        assert np.isfinite(chk), "non-finite state"
+        return best
+
+    timed(k1, reps=1)
+    t1, t2 = timed(k1), timed(k2)
+    per_frame = (t2 - t1) / (k2 - k1)
+    rate = params.num_substeps / per_frame
+    print(f"ordered: per-frame {per_frame*1e3:.3f} ms -> {rate:,.0f} "
+          "exact-order substeps/s", file=sys.stderr, flush=True)
+    return rate
+
+
 def main():
     import tetsim_tpu as ts
 
@@ -185,6 +213,12 @@ def main():
         print(f"1M-tet scale bench unavailable ({type(e).__name__}: "
               f"{str(e)[:120]})", file=sys.stderr, flush=True)
         scale_ms = None
+    try:
+        ordered_rate = _bench_ordered(mesh, params)
+    except Exception as e:
+        print(f"ordered bench unavailable ({type(e).__name__}: "
+              f"{str(e)[:120]})", file=sys.stderr, flush=True)
+        ordered_rate = None
 
     substeps_per_sec = params.num_substeps / per_frame
     out = {
@@ -205,6 +239,9 @@ def main():
         # north-star workload (BASELINE.md: 1M tets >60 Hz on v5e-8)
         out["scale_1m_tets_ms_per_substep"] = round(scale_ms * 1e3, 3)
         out["scale_1m_tets_hz_single_chip"] = round(1.0 / scale_ms, 1)
+    if ordered_rate is not None:
+        # BASELINE config 1 exact-trajectory path (serial floor: BASELINE.md)
+        out["ordered_exact_substeps_per_sec"] = round(ordered_rate, 1)
     print(json.dumps(out))
 
 

@@ -495,3 +495,59 @@ def test_long_run_stability(dragon):
     gp = np.asarray(unpack_pos(packed))
     assert np.isfinite(gp).all()
     assert gp[:, 1].min() >= -1e-4
+
+
+def test_ordered_fused_matches_xla_ordered_on_hardware(dragon):
+    """Exact-order fused kernel (kernels/gs_ordered.py) vs the XLA engine
+    running the SAME ordered level schedule, 10 frames on the dragon.
+    Both reproduce the sequential reference trajectory (BASELINE config 1),
+    so they must agree to f32 accumulation noise."""
+    from tetsim_tpu.kernels.gs_ordered import OrderedGSBody
+
+    params = ts.PhysicsParams(num_substeps=5)
+    body = OrderedGSBody(dragon, interpret=False)
+    body.step(params, frames=10)
+    fused_pos = body.positions()
+
+    arr = ts.build_arrays(dragon, coloring="ordered")
+    step = jax.jit(get_engine("neohookean").step_frame)
+    state = _frame_loop(
+        step, ts.init_state(dragon), arr, params, ts.Controls.none(), 10
+    )
+    xla_pos = np.asarray(state.pos)
+    for b in range(8):
+        np.testing.assert_allclose(fused_pos[b], xla_pos, atol=5e-5)
+
+
+def test_ordered_fused_rate_floor(dragon):
+    """RATIO floor: the ordered fused kernel walks the dragon's 703-level
+    exact schedule in-kernel and must beat the XLA ordered engine by >=4x
+    per frame in the same session (measured ~11x: 0.6 vs 6.8 ms/substep;
+    BASELINE.md 'Config 1' records the measured serial floor)."""
+    from tetsim_tpu.kernels.gs_ordered import OrderedGSBody
+
+    params = ts.PhysicsParams(num_substeps=5)
+    body = OrderedGSBody(dragon, interpret=False)
+    k1, k2 = 20, 120
+
+    def timed(frames):
+        t0 = time.perf_counter()
+        body.step(params, frames=frames)
+        float(np.asarray(body.state).sum())
+        return time.perf_counter() - t0
+
+    timed(k1)  # compile + warm
+    timed(k2)
+    t1, t2 = timed(k1), timed(k2)
+    per_frame = (t2 - t1) / (k2 - k1)
+    rate = params.num_substeps / per_frame
+    assert rate > 400, f"ordered fused rate broke: {rate:.0f} substeps/s"
+
+    xla_per_frame = _xla_engine_frame_time(
+        "neohookean", "ordered", dragon, params, k1=5, k2=15
+    )
+    ratio = xla_per_frame / per_frame
+    assert ratio > 4.0, (
+        f"ordered fused kernel only {ratio:.2f}x the XLA ordered engine "
+        f"({per_frame*1e3:.3f} vs {xla_per_frame*1e3:.3f} ms/frame)"
+    )

@@ -306,7 +306,8 @@ class FusedGSBody:
                 f"schedule has {self.sched.L} color levels; the fused kernel "
                 "unrolls levels statically and is intended for compact "
                 "schedules (coloring='greedy', typically <64 levels) — use "
-                "the XLA neohookean engine for ordered/long schedules"
+                "kernels.gs_ordered.OrderedGSBody for ordered/long "
+                "schedules (windowed fori, nothing unrolled)"
             )
         # VMEM sizing.  Bodies are processed in BLOCKS of B_blk sublanes:
         # only one block's state + the shared tables must fit VMEM; the

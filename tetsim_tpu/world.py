@@ -693,9 +693,27 @@ class World:
         backend="dense" — the MXU one-hot engine (neohookean only; bodies
                           batched in matmul columns; experimental — see
                           solvers/dense.py header for precision caveats).
+        backend="fused_ordered" — the exact-order fused GS kernel
+                          (kernels/gs_ordered.py): reproduces the
+                          sequential reference trajectory at the measured
+                          serial floor (neohookean only, 8 bodies).
         """
         d = float(self.params.density) if density is None else density
-        if backend == "fused":
+        if backend == "fused_ordered":
+            if engine != "neohookean":
+                raise ValueError(
+                    "the fused_ordered backend implements the neohookean "
+                    f"engine, not {engine!r}"
+                )
+            if num_bodies != 8:
+                raise ValueError(
+                    "the fused_ordered kernel batches exactly 8 bodies "
+                    f"(sublane-fixed), got num_bodies={num_bodies}"
+                )
+            from .kernels.gs_ordered import OrderedGSBody
+
+            batch = OrderedGSBody(mesh, density=d, jitter=jitter, seed=seed)
+        elif backend == "fused":
             if engine == "neohookean":
                 from .kernels import FusedGSBody
 
@@ -746,11 +764,13 @@ class World:
         from . import diag
 
         from .kernels.gs_fused import FusedGSBody
+        from .kernels.gs_ordered import OrderedGSBody
         from .kernels.polar_fused import FusedPolarBody
 
         out = {}
         for i, b in enumerate(self.bodies):
-            if isinstance(b, (FusedGSBody, FusedPolarBody, DenseBody)):
+            if isinstance(b, (FusedGSBody, OrderedGSBody, FusedPolarBody,
+                              DenseBody)):
                 pos = b.positions()
                 vel = b.velocities()
                 out[f"body{i}"] = {
