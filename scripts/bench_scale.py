@@ -45,7 +45,7 @@ def main():
         from tetsim_tpu.solvers.polar_grid import build_grid_arrays
 
         arr = build_grid_arrays(mesh, (n, n, n))
-    elif engine == "neohookean_grid":
+    elif engine.startswith("neohookean_grid"):
         from tetsim_tpu.solvers.neohookean_grid import build_nh_grid_arrays
 
         arr = build_nh_grid_arrays(mesh, (n, n, n))
@@ -76,6 +76,12 @@ def main():
             from tetsim_tpu.kernels.polar_pieces import make_pieces_stepper
 
             pack, step_packed, unpack, _ = make_pieces_stepper(
+                arr, interpret=False
+            )
+        elif engine.startswith("neohookean_grid_pallas"):
+            from tetsim_tpu.kernels.nh_stencil import make_frame_stepper
+
+            pack, step_packed, unpack, _ = make_frame_stepper(
                 arr, interpret=False
             )
         else:
@@ -123,7 +129,8 @@ def main():
     # pick the two-point spread by engine speed: fast engines need a wide
     # spread so the per-frame delta dominates round-trip jitter
     k1, k2 = (
-        (50, 400) if engine.startswith("polar_grid")
+        (50, 400) if engine.startswith(("polar_grid",
+                                        "neohookean_grid_pallas"))
         else (20, 120) if engine in ("neohookean_grid", "polar_pieces")
         else (3, 15)
     )

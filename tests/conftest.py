@@ -13,6 +13,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# NOTE: do NOT set --xla_backend_optimization_level=0 suite-wide: it cuts
+# the fused-kernel interpret compiles ~40% but slows runtime-heavy tests
+# (golden-parity frame loops) by far more — measured net 3x SLOWER suite.
+# test_nh_stencil.py applies O0 per-compile via lower().compile() instead.
 
 import jax  # noqa: E402
 

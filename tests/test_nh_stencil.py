@@ -1,0 +1,156 @@
+"""Parity + behavior tests for the fused Neo-Hookean grid-stencil kernel.
+
+`kernels/nh_stencil.py` runs the SAME 48-color (type x cube-parity)
+Gauss-Seidel sweep as `solvers/neohookean_grid.py`, with every plane
+VMEM-resident and the whole substep in one Pallas kernel.  The parity
+chain requirement (CLAUDE.md): fused kernel == XLA stencil engine to f32
+accumulation tolerance.  On CPU the kernel runs in interpret mode.
+
+Compile economy (measured): one full-opt XLA-CPU compile of the
+interpret-mode kernel costs ~4.5 min (48 colors unrolled, ~100k-op
+graph); at --xla_backend_optimization_level=0 it is ~2.5 min and the
+tiny-shape runtime difference is irrelevant.  This file therefore builds
+exactly TWO O0-compiled executables (fused + XLA stencil, both at the
+odd-dims (4,3,2) case that stresses parity-block padding and shifted-read
+wrap columns) and shares them across all tests.  `step_frame` routes
+pack -> kernel -> unpack, so the packed machinery is covered by the same
+compiles; multi-frame packed persistence runs on the hardware lane
+(tests_tpu/test_hardware.py::test_nh_stencil_packed_rate_floor).
+"""
+import functools
+
+import jax
+import numpy as np
+import pytest
+
+import tetsim_tpu as ts
+from tetsim_tpu.solvers import get_engine, neohookean_grid as nhg
+from tetsim_tpu.kernels import nh_stencil
+
+DIMS = (4, 3, 2)
+_O0 = {"xla_backend_optimization_level": "0"}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = ts.grid_mesh(*DIMS, cell=0.25, origin=(-0.3, 0.6, -0.3))
+    arr = nhg.build_nh_grid_arrays(mesh, DIMS)
+    params = ts.default_cpu_params()
+    controls = ts.Controls.none()
+    state = ts.init_state(mesh)
+    fused = (
+        jax.jit(functools.partial(nh_stencil.step_frame, interpret=True))
+        .lower(state, arr, params, controls)
+        .compile(_O0)
+    )
+    xla = (
+        jax.jit(nhg.step_frame)
+        .lower(state, arr, params, controls)
+        .compile(_O0)
+    )
+    return mesh, arr, params, fused, xla
+
+
+def _drop_state(mesh, vel_seed=0):
+    state = ts.init_state(mesh)
+    rng = np.random.default_rng(vel_seed)
+    vel = rng.uniform(-0.4, 0.4, state.vel.shape).astype(np.float32)
+    return state.replace(vel=vel)
+
+
+def test_matches_xla_stencil_engine(setup):
+    mesh, arr, params, fused, xla = setup
+    controls = ts.Controls.none()
+    sx = _drop_state(mesh)
+    sf = _drop_state(mesh)
+    for _ in range(10):
+        sx, _ = xla(sx, arr, params, controls)
+        sf, _ = fused(sf, arr, params, controls)
+    err = float(np.abs(np.asarray(sx.pos) - np.asarray(sf.pos)).max())
+    assert err < 2e-5, f"fused vs XLA stencil position drift {err}"
+    verr = float(np.abs(np.asarray(sx.vel) - np.asarray(sf.vel)).max())
+    assert verr < 2e-3, f"fused vs XLA stencil velocity drift {verr}"
+
+
+def test_grab_override(setup):
+    mesh, arr, params, fused, _ = setup
+    controls = ts.Controls.none().replace(
+        grab_id=np.int32(0),
+        grab_pos=np.array([0.1, 1.2, 0.1], np.float32),
+    )
+    state = ts.init_state(mesh)
+    for _ in range(4):
+        state, _ = fused(state, arr, params, controls)
+    pos = np.asarray(state.pos)
+    assert np.allclose(pos[0], [0.1, 1.2, 0.1], atol=1e-6)
+
+
+def test_pinned_particles_hold(setup):
+    mesh, _, params, fused, _ = setup
+    pinned = np.arange(4)
+    # same pytree structure/static fields -> reuses the compiled executable
+    arr = nhg.build_nh_grid_arrays(mesh, DIMS, pinned=pinned)
+    state = ts.init_state(mesh)
+    p0 = np.asarray(state.pos)[pinned].copy()
+    for _ in range(10):
+        state, _ = fused(state, arr, params, ts.Controls.none())
+    assert np.allclose(np.asarray(state.pos)[pinned], p0, atol=1e-6)
+
+
+def test_pack_unpack_roundtrip(setup):
+    """The packed device layout is exactly invertible (pack -> unpack
+    identity on pos/vel; unpack_pos agrees) — the layout half of the
+    make_frame_stepper contract; the stepping half runs through step_frame
+    (same pack/step/unpack composition) in the parity test above."""
+    mesh, arr, params, _, _ = setup
+    state = _drop_state(mesh)
+    pack, _, unpack, unpack_pos = nh_stencil.make_frame_stepper(
+        arr, interpret=True
+    )
+    packed = pack(state, params)
+    back = unpack(packed, params)
+    np.testing.assert_array_equal(np.asarray(back.pos),
+                                  np.asarray(state.pos))
+    np.testing.assert_array_equal(np.asarray(back.vel),
+                                  np.asarray(state.vel))
+    np.testing.assert_array_equal(np.asarray(unpack_pos(packed)),
+                                  np.asarray(state.pos))
+    # prev_pos is re-derived as pos - vel*dt (the kernel's velocity-update
+    # inverse), exact in f32 only where pos/vel are representable; check
+    # the relation rather than equality with the arbitrary input prev
+    np.testing.assert_allclose(
+        np.asarray(back.prev_pos),
+        np.asarray(state.pos) - np.asarray(state.vel) * float(params.dt),
+        atol=1e-7,
+    )
+
+
+def test_engine_registry():
+    eng = get_engine("neohookean_grid_pallas")
+    assert eng is nh_stencil
+
+
+def test_world_wiring():
+    """add_grid_body accepts the fused NH engine in both body forms (no
+    stepping here — the step path is the compiled kernel covered above;
+    World-stepping for pallas grid engines is covered by test_world.py on
+    the polar twin and by the hardware lane for this kernel)."""
+    w = ts.World()
+    b = w.add_grid_body(
+        DIMS, cell=0.25, origin=(-0.3, 0.6, -0.3),
+        engine="neohookean_grid_pallas",
+    )
+    assert b.engine == "neohookean_grid_pallas"
+    assert isinstance(b.arrays, nhg.NHGridArrays)
+
+    wp = ts.World()
+    bp = wp.add_grid_body(
+        DIMS, cell=0.25, origin=(-0.3, 0.6, -0.3),
+        engine="neohookean_grid_pallas", packed=True,
+    )
+    assert bp.engine == "neohookean_grid_pallas"
+    assert np.isfinite(bp.positions).all()
+
+    with pytest.raises(ValueError, match="fused kernel engine"):
+        ts.World().add_grid_body(DIMS, engine="neohookean_grid",
+                                 packed=True)

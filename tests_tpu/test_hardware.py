@@ -551,3 +551,94 @@ def test_ordered_fused_rate_floor(dragon):
         f"ordered fused kernel only {ratio:.2f}x the XLA ordered engine "
         f"({per_frame*1e3:.3f} vs {xla_per_frame*1e3:.3f} ms/frame)"
     )
+
+
+def test_nh_stencil_matches_xla_stencil_on_hardware():
+    """Fused Neo-Hookean grid kernel (kernels/nh_stencil.py) vs the XLA
+    48-color stencil engine — identical color order and math, so hardware
+    agreement is bit-level-tight (measured 0.0 at 8^3 x 10 frames)."""
+    from tetsim_tpu.solvers import neohookean_grid as nhg
+    from tetsim_tpu.kernels import nh_stencil
+
+    dims = (8, 8, 8)
+    mesh = ts.grid_mesh(*dims, cell=0.1, origin=(-0.4, 0.5, -0.4))
+    arr = nhg.build_nh_grid_arrays(mesh, dims)
+    params = ts.PhysicsParams(num_substeps=5)
+    controls = ts.Controls.none()
+    step_x = jax.jit(nhg.step_frame)
+    sx, sf = ts.init_state(mesh), ts.init_state(mesh)
+    for _ in range(10):
+        sx, _ = step_x(sx, arr, params, controls)
+        sf, _ = nh_stencil.step_frame(sf, arr, params, controls,
+                                      interpret=False)
+    np.testing.assert_allclose(sx.pos, sf.pos, atol=5e-5)
+
+
+def test_nh_stencil_packed_rate_floor():
+    """1M-tet fused Neo-Hookean kernel floor + RATIO vs the XLA stencil
+    engine measured in the same session (variance-immune, VERDICT r2 weak
+    #3 convention)."""
+    from tetsim_tpu.solvers.neohookean_grid import build_nh_grid_arrays
+    from tetsim_tpu.kernels.nh_stencil import make_frame_stepper
+
+    n = 56
+    mesh = ts.grid_mesh(n, n, n, cell=0.02, origin=(-0.56, 0.5, -0.56))
+    arr = build_nh_grid_arrays(mesh, (n, n, n))
+    params = ts.PhysicsParams(num_substeps=1)
+    controls = ts.Controls.none()
+    pack, step, unpack, _ = make_frame_stepper(arr, interpret=False)
+    packed0 = pack(ts.init_state(mesh), params)
+
+    def runner(frames):
+        @jax.jit
+        def run(st):
+            def body(s, _):
+                return step(s, params, controls), None
+
+            s, _ = jax.lax.scan(body, st, None, length=frames)
+            return s
+
+        return run
+
+    k1, k2 = 50, 400
+    run1, run2 = runner(k1), runner(k2)
+
+    def timed(run):
+        t0 = time.perf_counter()
+        reps = 2
+        for _ in range(reps):
+            out = run(packed0)
+            float(jax.tree.leaves(out)[0].sum())
+        return (time.perf_counter() - t0) / reps
+
+    timed(run1)
+    timed(run2)
+    t1, t2 = timed(run1), timed(run2)
+    per_substep = (t2 - t1) / (k2 - k1)
+    assert per_substep < 4e-3, (
+        f"1M-tet fused NH substep broke: {per_substep*1e3:.3f} ms"
+    )
+
+    xstep = get_engine("neohookean_grid").step_frame
+
+    def xrunner(frames):
+        @jax.jit
+        def run(st):
+            def body(s, _):
+                s, _ = xstep(s, arr, params, controls)
+                return s, None
+
+            s, _ = jax.lax.scan(body, st, None, length=frames)
+            return s
+
+        return run
+
+    xk1, xk2 = 20, 120
+    xla_per_substep = _two_point_rate(
+        xrunner(xk1), xrunner(xk2), xk1, xk2, ts.init_state(mesh)
+    )
+    ratio = xla_per_substep / per_substep
+    assert ratio > 2.0, (
+        f"fused NH kernel only {ratio:.2f}x the XLA stencil engine "
+        f"({per_substep*1e3:.3f} vs {xla_per_substep*1e3:.3f} ms/substep)"
+    )

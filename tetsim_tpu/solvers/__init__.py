@@ -14,6 +14,8 @@ reference's two-backend structure (SURVEY.md §1 L2):
   * ``neohookean_grid`` — Neo-Hookean GS specialized to grid_mesh boxes:
     48-color structured (type x cube-parity) coloring on parity-block
     state — the reference-fidelity physics at the stencil scale path
+  * ``neohookean_grid_pallas`` — the same 48-color sweep fused into ONE
+    Pallas kernel per substep (kernels/nh_stencil.py)
   * ``golden``     — sequential NumPy oracle for parity tests
 """
 from . import (  # noqa: F401
@@ -32,6 +34,7 @@ ENGINES = {
 _LAZY_ENGINES = {
     "polar_grid_pallas": "tetsim_tpu.kernels.polar_stencil",
     "polar_pieces": "tetsim_tpu.kernels.polar_pieces",
+    "neohookean_grid_pallas": "tetsim_tpu.kernels.nh_stencil",
 }
 
 

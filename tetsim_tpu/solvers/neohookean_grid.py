@@ -290,14 +290,16 @@ def _cube_mask(cw, dims):
     return jnp.where(ok, 1.0, 0.0).astype(jnp.float32)
 
 
-def _solve_color(p, imc, ir, irv, dt, params: PhysicsParams):
+def _solve_color(p, imc, ir, irv, dt, dev_compliance, vol_compliance):
     """Project both Neo-Hookean constraints on one color's tet lanes.
 
     p: [4][3] of [LH] corner coordinates; imc: [4] of [LH]; ir: [3][3]
-    Python floats (uniform rest pose per type); irv: Python float.
-    Component-wise mirror of neohookean.solve_tet_batch (Softbody.js:91-165
-    math) — same op order as kernels/gs_fused._solve_level, which is parity
-    tested against the XLA engine.  Returns (updated p, det F - 1).
+    Python floats (uniform rest pose per type); irv: Python float;
+    dt/dev_compliance/vol_compliance: scalars (traced values or SMEM
+    scalars when called from kernels/nh_stencil).  Component-wise mirror
+    of neohookean.solve_tet_batch (Softbody.js:91-165 math) — same op
+    order as kernels/gs_fused._solve_level, which is parity tested against
+    the XLA engine.  Returns (updated p, det F - 1).
     """
 
     def edges(p):
@@ -325,7 +327,7 @@ def _solve_color(p, imc, ir, irv, dt, params: PhysicsParams):
             for i in range(4)
         ]
 
-    gamma = params.vol_compliance / params.dev_compliance
+    gamma = vol_compliance / dev_compliance
 
     # deviatoric: C = ||F||_F (Softbody.js:96-131)
     e = edges(p)
@@ -336,7 +338,7 @@ def _solve_color(p, imc, ir, irv, dt, params: PhysicsParams):
         [sum(f[r][c] * ir[i][c] for c in range(3)) * r_inv for r in range(3)]
         for i in range(3)
     ]
-    p = xpbd_apply(p, g, r_s, params.dev_compliance)
+    p = xpbd_apply(p, g, r_s, dev_compliance)
 
     # hydrostatic: C = det F - 1 - gamma on the *updated* positions
     # (Gauss-Seidel within the element, Softbody.js:134-165)
@@ -361,7 +363,7 @@ def _solve_color(p, imc, ir, irv, dt, params: PhysicsParams):
         [sum(df[c][r] * ir[i][c] for c in range(3)) for r in range(3)]
         for i in range(3)
     ]
-    p = xpbd_apply(p, g, c_vol, params.vol_compliance)
+    p = xpbd_apply(p, g, c_vol, vol_compliance)
     return p, det - 1.0
 
 
@@ -381,7 +383,8 @@ def _gs_sweep(X, Y, Z, arr: NHGridArrays, dt, params: PhysicsParams):
         ]
         imc = [arr.inv_mass_blocks[b, o : o + lh] for (b, o) in corners]
         newp, verr = _solve_color(
-            pc, imc, arr.inv_rest_pose[t], arr.inv_rest_volume, dt, params
+            pc, imc, arr.inv_rest_pose[t], arr.inv_rest_volume, dt,
+            params.dev_compliance, params.vol_compliance,
         )
         for k, (b, o) in enumerate(corners):
             X = X.at[b, o : o + lh].add((newp[k][0] - pc[k][0]) * mask)

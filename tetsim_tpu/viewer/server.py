@@ -635,9 +635,12 @@ class ViewerServer:
 def main():
     """CLI: python -m tetsim_tpu.viewer.server [--engine polar] [--port 8787]
     [--bodies N] — N > 1 renders a draggable batch (BatchedBody).
-    [--grid NX,NY,NZ] — a grid_mesh box through the fused Pallas stencil
+    [--grid NX,NY,NZ] — a grid_mesh box through a fused Pallas stencil
     kernel with packed device state (PackedGridBody): interactive
-    million-tet scenes (e.g. --grid 32,32,32 = 196,608 tets)."""
+    million-tet scenes (e.g. --grid 32,32,32 = 196,608 tets).  Combined
+    with --engine neohookean the box runs the fused Neo-Hookean kernel
+    (kernels/nh_stencil.py); default polar runs the shape-matching
+    stencil (kernels/polar_stencil.py)."""
     import argparse
 
     ap = argparse.ArgumentParser(description="tetsim_tpu interactive viewer")
@@ -669,11 +672,15 @@ def main():
                 f"(e.g. 32,32,32), got {args.grid!r}"
             )
         ext = max(dims) * args.cell
+        grid_engine = (
+            "neohookean_grid_pallas" if args.engine == "neohookean"
+            else "polar_grid_pallas"
+        )
         world.add_grid_body(
             dims, cell=args.cell,
             origin=(-dims[0] * args.cell / 2, ext * 0.75,
                     -dims[2] * args.cell / 2),
-            engine="polar_grid_pallas", packed=True, with_surface=True,
+            engine=grid_engine, packed=True, with_surface=True,
         )
     elif args.bodies > 1:
         world.add_body_batch(

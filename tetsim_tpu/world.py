@@ -146,7 +146,8 @@ class Body:
             arrays = build_pieces_arrays(mesh, density=density, pinned=pinned)
             pinned = None
         if (
-            engine in ("polar_grid", "polar_grid_pallas", "neohookean_grid")
+            engine in ("polar_grid", "polar_grid_pallas", "neohookean_grid",
+                       "neohookean_grid_pallas")
             and arrays is None
         ):
             raise ValueError(
@@ -263,12 +264,21 @@ class PackedGridBody:
     on grab (SoftbodyGPU.js:649-668).  Grab API mirrors Body."""
 
     def __init__(self, mesh, arrays, params: PhysicsParams,
-                 interpret: Optional[bool] = None):
-        from .kernels.polar_stencil import make_frame_stepper
+                 interpret: Optional[bool] = None,
+                 engine: str = "polar_grid_pallas"):
+        if engine == "neohookean_grid_pallas":
+            from .kernels.nh_stencil import make_frame_stepper
+        elif engine == "polar_grid_pallas":
+            from .kernels.polar_stencil import make_frame_stepper
+        else:
+            raise ValueError(
+                "PackedGridBody runs the fused grid kernels "
+                f"(polar_grid_pallas / neohookean_grid_pallas), not {engine!r}"
+            )
 
         self.mesh = mesh
         self.arrays = arrays
-        self.engine = "polar_grid_pallas"
+        self.engine = engine
         pack, stepfn, unpack, unpack_pos = make_frame_stepper(
             arrays, interpret
         )
@@ -639,7 +649,8 @@ class World:
         from .mesh import grid_mesh
 
         if engine not in (
-            "polar_grid", "polar_grid_pallas", "neohookean_grid"
+            "polar_grid", "polar_grid_pallas", "neohookean_grid",
+            "neohookean_grid_pallas",
         ):
             raise ValueError(
                 f"add_grid_body runs the stencil engines, not {engine!r}"
@@ -650,7 +661,7 @@ class World:
             from .mesh import with_boundary_surface
 
             mesh = with_boundary_surface(mesh)
-        if engine == "neohookean_grid":
+        if engine.startswith("neohookean_grid"):
             from .solvers.neohookean_grid import build_nh_grid_arrays
 
             arrays = build_nh_grid_arrays(
@@ -663,11 +674,12 @@ class World:
                 mesh, tuple(dims), density=d, pinned=pinned
             )
         if packed:
-            if engine != "polar_grid_pallas":
+            if not engine.endswith("_pallas"):
                 raise ValueError(
-                    "packed grid state requires engine='polar_grid_pallas'"
+                    "packed grid state requires a fused kernel engine "
+                    "(polar_grid_pallas / neohookean_grid_pallas)"
                 )
-            body = PackedGridBody(mesh, arrays, self.params)
+            body = PackedGridBody(mesh, arrays, self.params, engine=engine)
         else:
             body = Body(mesh, engine=engine, arrays=arrays, coloring=None)
         self.bodies.append(body)
