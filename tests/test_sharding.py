@@ -3,6 +3,7 @@ shard vs unsharded tolerance comparison)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 from jax.sharding import Mesh, PartitionSpec as P
 
 import tetsim_tpu as ts
@@ -86,3 +87,72 @@ def test_batch_state_jitter():
     assert b.pos.shape == (4,) + state.pos.shape
     offs = np.asarray(b.pos - state.pos[None])
     assert not np.allclose(offs[0], offs[1])
+
+
+def test_nh_grid_slab_sharded_matches_unsharded():
+    """The GS-aware slab decomposition (neohookean_grid.make_nh_sharded_step)
+    reproduces the unsharded 48-color trajectory exactly: halo refreshes at
+    the plan's px transitions are the only cross-slab dependency (module
+    comment in neohookean_grid.py)."""
+    from tetsim_tpu.solvers import neohookean_grid as nhg
+
+    d = 4
+    devs = np.array(jax.devices()[:d])
+    mesh = Mesh(devs, ("x",))
+    dims = (8, 4, 4)
+    gm = ts.grid_mesh(*dims, cell=0.15, origin=(-0.6, 0.5, -0.3))
+    arr = nhg.build_nh_grid_arrays(gm, dims)
+    params = ts.default_cpu_params()
+    controls = ts.Controls.none().replace(
+        grab_id=np.int32(3),
+        grab_pos=np.array([0.2, 1.0, 0.2], np.float32),
+    )
+
+    state0 = ts.init_state(gm)
+    rng = np.random.default_rng(3)
+    state0 = state0.replace(
+        vel=rng.uniform(-0.4, 0.4, state0.vel.shape).astype(np.float32)
+    )
+
+    # O0: the 48-color graph costs minutes of LLVM opt these tiny shapes
+    # never pay back (same convention as tests/test_nh_stencil.py)
+    o0 = {"xla_backend_optimization_level": "0"}
+    step = (
+        jax.jit(nhg.step_frame)
+        .lower(state0, arr, params, controls)
+        .compile(o0)
+    )
+    ref = state0
+    for _ in range(10):
+        ref, ref_diag = step(ref, arr, params, controls)
+
+    sharded = nhg.make_nh_sharded_step(mesh, arr, "x", compiler_options=o0)
+    slab = nhg.nh_prepare(state0, arr, d)
+    for _ in range(10):
+        slab, diags = sharded(slab, params, controls)
+    out = nhg.nh_unprepare(slab, arr, d, params)
+
+    err = float(np.abs(np.asarray(out.pos) - np.asarray(ref.pos)).max())
+    assert err < 2e-5, f"slab-sharded vs unsharded drift {err}"
+    # grabbed vertex override survives sharding (global id remap)
+    np.testing.assert_allclose(
+        np.asarray(out.pos)[3], [0.2, 1.0, 0.2], atol=1e-6
+    )
+    # diagnostics renormalized to the global mean
+    np.testing.assert_allclose(
+        np.asarray(diags), np.asarray(ref_diag), atol=1e-4
+    )
+
+
+def test_nh_slab_geometry_validation():
+    from tetsim_tpu.solvers import neohookean_grid as nhg
+
+    gm = ts.grid_mesh(6, 2, 2, cell=0.2)
+    arr = nhg.build_nh_grid_arrays(gm, (6, 2, 2))
+    devs2 = np.array(jax.devices()[:2])
+    with pytest.raises(ValueError, match="even"):
+        # 6 cubes / 2 slabs = 3 per slab — cuts land on odd columns
+        nhg.make_nh_sharded_step(Mesh(devs2, ("x",)), arr, "x")
+    devs4 = np.array(jax.devices()[:4])
+    with pytest.raises(ValueError, match="divide"):
+        nhg.make_nh_sharded_step(Mesh(devs4, ("x",)), arr, "x")

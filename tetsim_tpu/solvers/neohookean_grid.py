@@ -367,15 +367,28 @@ def _solve_color(p, imc, ir, irv, dt, dev_compliance, vol_compliance):
     return p, det - 1.0
 
 
-def _gs_sweep(X, Y, Z, arr: NHGridArrays, dt, params: PhysicsParams):
+def _gs_sweep(X, Y, Z, arr: NHGridArrays, dt, params: PhysicsParams,
+              exchange=None):
     """The 48-color Gauss-Seidel sweep over parity-block state.
 
     Sequential over colors (each color reads the positions updated by all
     previous colors — functional in-place slice updates), parallel within
-    a color (vertex-disjoint tets).  Returns (X, Y, Z, sum vol_err)."""
+    a color (vertex-disjoint tets).  Returns (X, Y, Z, sum vol_err).
+
+    ``exchange(X, Y, Z, to_px)`` (slab sharding, make_nh_sharded_step) is
+    called at every cube-x-parity transition of the color plan and once
+    after the sweep: a px=0 color on an even-aligned slab cut updates the
+    shared vertex plane only on the RIGHT slab, a px=1 color only on the
+    LEFT — so refreshing the stale copy exactly at px flips (12 one-plane
+    sends per substep) reproduces the global Gauss-Seidel trajectory
+    exactly; no other cross-slab dependency exists within a px group."""
     (hx, hy, hz), lh, _ = _geometry(arr.dims)
     vol_err = jnp.float32(0.0)
+    last_px = None
     for t, p, corners, cw in _color_plan(arr):
+        if exchange is not None and last_px is not None and p[0] != last_px:
+            X, Y, Z = exchange(X, Y, Z, p[0])
+        last_px = p[0]
         mask = _cube_mask(cw, arr.dims)
         pc = [
             [comp[b, o : o + lh] for comp in (X, Y, Z)]
@@ -391,10 +404,16 @@ def _gs_sweep(X, Y, Z, arr: NHGridArrays, dt, params: PhysicsParams):
             Y = Y.at[b, o : o + lh].add((newp[k][1] - pc[k][1]) * mask)
             Z = Z.at[b, o : o + lh].add((newp[k][2] - pc[k][2]) * mask)
         vol_err = vol_err + jnp.sum(verr * mask)
+    if exchange is not None:
+        # the final px=1 colors updated the shared plane on the LEFT slab;
+        # refresh the right copies so collide/velocity/predict stay
+        # replica-consistent into the next substep
+        X, Y, Z = exchange(X, Y, Z, 0)
     return X, Y, Z, vol_err
 
 
-def _substep_blocks(carry, arr: NHGridArrays, params, dt, controls: Controls):
+def _substep_blocks(carry, arr: NHGridArrays, params, dt, controls: Controls,
+                    exchange=None, x_offset=None):
     X, Y, Z, VX, VY, VZ = carry
     movable = arr.inv_mass_blocks > 0.0
 
@@ -406,7 +425,8 @@ def _substep_blocks(carry, arr: NHGridArrays, params, dt, controls: Controls):
     PX, PY, PZ = X, Y, Z
     X, Y, Z = X + VX * dt, Y + VY * dt, Z + VZ * dt
 
-    X, Y, Z, vol_err = _gs_sweep(X, Y, Z, arr, dt, params)
+    X, Y, Z, vol_err = _gs_sweep(X, Y, Z, arr, dt, params,
+                                 exchange=exchange)
 
     # collide (common.collide semantics)
     X = jnp.clip(X, params.world_min[0], params.world_max[0])
@@ -428,6 +448,10 @@ def _substep_blocks(carry, arr: NHGridArrays, params, dt, controls: Controls):
     pid = _block_pid(arr.dims)
     (hx, hy, hz), lh, lhp = _geometry(arr.dims)
     pid = jnp.pad(pid, ((0, 0), (0, lhp - lh)), constant_values=-2)
+    if x_offset is not None:
+        # slab sharding: local block pid -> global particle id (the slab's
+        # first vertex plane starts x_offset vertices into the global grid)
+        pid = jnp.where(pid >= 0, pid + x_offset, pid)
     hit = pid == gid
     X = jnp.where(hit, controls.grab_pos[0], X)
     Y = jnp.where(hit, controls.grab_pos[1], Y)
@@ -499,3 +523,224 @@ def step_frame(
         body, (carry0, carry0[:3]), None, length=params.num_substeps
     )
     return _carry_state(carry, prev, state, arr), diags
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip slab sharding (shard_map along the cube-x axis)
+# ---------------------------------------------------------------------------
+#
+# Gauss-Seidel is sequential over colors, so the Jacobi-style
+# one-exchange-per-substep halo (polar_grid.make_grid_sharded_step) cannot
+# reproduce its trajectory.  The structured color plan makes an exact slab
+# decomposition possible anyway: with slab cuts at EVEN cube columns, a
+# px=0 color (even-x cubes) updates each shared vertex plane only from the
+# RIGHT slab and a px=1 color only from the LEFT, and no color reads a
+# vertex the other slab updated within the same px group.  Refreshing the
+# stale copy exactly at the plan's px transitions — 12 one-plane ppermute
+# sends per substep, 3*gy*gz*4 B each — therefore reproduces the global
+# 48-color GS trajectory exactly (tests/test_sharding.py asserts
+# sharded == unsharded).  This is the GS-aware counterpart of the
+# reference's single-device scheme, which had no distributed form at all
+# (SURVEY.md §2.5).
+
+
+def _slab_geometry(dims, d):
+    nx, ny, nz = dims
+    if nx % d != 0:
+        raise ValueError(f"nx={nx} must divide evenly over {d} slabs")
+    lx = nx // d
+    if d > 1 and lx % 2 != 0:
+        raise ValueError(
+            f"cubes per slab must be even for parity-aligned cuts "
+            f"(nx={nx}, {d} slabs -> {lx})"
+        )
+    return lx, (lx, ny, nz)
+
+
+def nh_prepare(state: SimState, arr: NHGridArrays, d: int):
+    """Flat SimState -> slab pytree: 6 arrays [d, 8, LHp_local]
+    (pos x/y/z, vel x/y/z in per-slab parity-block layout).  Shared
+    boundary vertex planes are REPLICATED into both neighbors (each slab
+    holds its lx+1 local vertex planes)."""
+    nx, ny, nz = arr.dims
+    gx, gy, gz = nx + 1, ny + 1, nz + 1
+    lx, local_dims = _slab_geometry(arr.dims, d)
+
+    def comp(a):
+        g = a.reshape(gx, gy, gz)
+        return jnp.stack(
+            [
+                _to_blocks(
+                    g[i * lx : i * lx + lx + 1].reshape(-1), local_dims
+                )
+                for i in range(d)
+            ],
+            axis=0,
+        )
+
+    return tuple(
+        comp(a[:, c]) for a in (state.pos, state.vel) for c in range(3)
+    )
+
+
+def nh_unprepare(slab, arr: NHGridArrays, d: int,
+                 params: PhysicsParams) -> SimState:
+    """Slab pytree -> flat SimState.  Boundary copies are
+    replica-consistent at frame boundaries (the sweep's final exchange),
+    so each slab contributes its first lx planes and the last slab also
+    its closing plane.  prev_pos re-derives exactly as pos - vel*dt (the
+    substep's velocity update is (pos - prev)/dt)."""
+    nx, ny, nz = arr.dims
+    gx, gy, gz = nx + 1, ny + 1, nz + 1
+    lx, local_dims = _slab_geometry(arr.dims, d)
+
+    def comp(blocks):
+        planes = [
+            _from_blocks(blocks[i], local_dims).reshape(lx + 1, gy, gz)[
+                : lx + 1 if i == d - 1 else lx
+            ]
+            for i in range(d)
+        ]
+        return jnp.concatenate(planes, axis=0).reshape(-1)
+
+    pos = jnp.stack([comp(slab[c]) for c in range(3)], axis=-1)
+    vel = jnp.stack([comp(slab[3 + c]) for c in range(3)], axis=-1)
+    quats = jnp.zeros((arr.num_tets, 4), jnp.float32).at[:, 3].set(1.0)
+    return SimState(
+        pos=pos, prev_pos=pos - vel * params.dt, vel=vel, quats=quats
+    )
+
+
+def make_nh_sharded_step(mesh, arr: NHGridArrays, axis: str = "x",
+                         compiler_options=None):
+    """Build a jitted sharded frame step over `mesh`'s `axis`:
+    (slab_state, params, controls) -> (slab_state, diags).
+
+    slab_state is the nh_prepare tuple sharded P(axis) on the leading dim.
+    Per substep: 12 one-plane halo sends (see module comment); everything
+    else is the unsharded engine running on the local slab grid.
+
+    compiler_options: optional dict forwarded to XLA at compile time (the
+    hermetic suite passes {"xla_backend_optimization_level": "0"} — the
+    48-color graph costs minutes of LLVM opt on CPU that tiny test shapes
+    never pay back)."""
+    from jax.sharding import PartitionSpec as P
+
+    d = mesh.shape[axis]
+    nx, ny, nz = arr.dims
+    gx, gy, gz = nx + 1, ny + 1, nz + 1
+    lx, local_dims = _slab_geometry(arr.dims, d)
+    (hxl, hy, hz), lh_l, lhp_l = _geometry(local_dims)
+    hyz = hy * hz
+    xb_last = lx // 2
+    tets_local = 6 * lx * ny * nz
+
+    # per-slab inv-mass planes (global lumped mass: boundary vertices carry
+    # contributions from BOTH sides — sliced, not rebuilt per slab)
+    im = np.asarray(arr.inv_mass).reshape(gx, gy, gz)
+    imb = jnp.asarray(
+        np.stack(
+            [
+                _to_blocks_np(
+                    im[i * lx : i * lx + lx + 1].reshape(-1), local_dims
+                )
+                for i in range(d)
+            ],
+            axis=0,
+        )
+    )
+    arr_local_static = dict(
+        dims=local_dims,
+        corner_slab=arr.corner_slab,
+        inv_rest_pose=arr.inv_rest_pose,
+        inv_rest_volume=arr.inv_rest_volume,
+        rest_volume=arr.rest_volume,
+    )
+
+    def shard_body(slab, imb_s, params, controls):
+        arr_l = NHGridArrays(
+            inv_mass_blocks=imb_s[0], inv_mass=None, **arr_local_static
+        )
+        idx = jax.lax.axis_index(axis)
+        x_offset = idx.astype(jnp.int32) * (lx * gy * gz)
+
+        def exchange(X, Y, Z, to_px):
+            if d == 1:
+                return X, Y, Z
+            if to_px == 1:
+                # right neighbor's plane x=0 -> local plane x=lx
+                perm = [(i, i - 1) for i in range(1, d)]
+                src = slice(0, hyz)
+                dst = slice(xb_last * hyz, xb_last * hyz + hyz)
+                keep = idx < d - 1
+            else:
+                # left neighbor's plane x=lx -> local plane x=0
+                perm = [(i, i + 1) for i in range(d - 1)]
+                src = slice(xb_last * hyz, xb_last * hyz + hyz)
+                dst = slice(0, hyz)
+                keep = idx > 0
+
+            def ex(A):
+                recv = jax.lax.ppermute(A[0:4, src], axis, perm)
+                cur = A[0:4, dst]
+                return A.at[0:4, dst].set(jnp.where(keep, recv, cur))
+
+            return ex(X), ex(Y), ex(Z)
+
+        carry0 = tuple(a[0] for a in slab)
+        dt = params.dt
+
+        def body(carry, _):
+            carry, (_, diag) = _substep_blocks(
+                carry, arr_l, params, dt, controls,
+                exchange=exchange, x_offset=x_offset,
+            )
+            return carry, diag
+
+        carry, diags = jax.lax.scan(
+            body, carry0, None, length=params.num_substeps
+        )
+        # local diag is vol_err/tets_local; renormalize to the global mean
+        diags = jax.lax.psum(diags * tets_local, axis) / arr.num_tets
+        return tuple(a[None] for a in carry), diags
+
+    slab_p = (P(axis),) * 6
+
+    @jax.jit
+    def _sharded_jit(slab, params, controls):
+        pm_specs = jax.tree.map(lambda _: P(), params)
+        ct_specs = jax.tree.map(lambda _: P(), controls)
+        fn = jax.shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(slab_p, P(axis), pm_specs, ct_specs),
+            out_specs=(slab_p, P()),
+            check_vma=False,
+        )
+        return fn(slab, imb, params, controls)
+
+    if compiler_options is None:
+        sharded = _sharded_jit
+    else:
+        cache = {}
+
+        def sharded(slab, params, controls):
+            key = params.num_substeps
+            if key not in cache:
+                cache[key] = _sharded_jit.lower(
+                    slab, params, controls
+                ).compile(compiler_options)
+            return cache[key](slab, params, controls)
+
+    if mesh.devices.flat[0].platform != "cpu":
+        return sharded
+
+    # serialize dispatch on the CPU test backend (parallel/sharding.py:
+    # XLA-CPU's in-process communicator deadlocks under interleaved async
+    # collective dispatches across virtual devices)
+    def sharded_sync(slab, params, controls):
+        out = sharded(slab, params, controls)
+        jax.block_until_ready(out)
+        return out
+
+    return sharded_sync
