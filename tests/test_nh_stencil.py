@@ -154,3 +154,47 @@ def test_world_wiring():
     with pytest.raises(ValueError, match="fused kernel engine"):
         ts.World().add_grid_body(DIMS, engine="neohookean_grid",
                                  packed=True)
+
+
+def test_sharded_fused_matches_xla_engine():
+    """Fused-kernel slab sharding (make_nh_sharded_stepper: 12 segment
+    kernels + ppermute exchanges at the px transitions) == the unsharded
+    XLA stencil engine, 6 frames on a 4-slab virtual mesh.  Identical
+    arithmetic (_emit_sweep / _solve_color shared) -> f32-tight."""
+    from jax.sharding import Mesh
+
+    d = 4
+    dims = (8, 4, 2)
+    devs = np.array(jax.devices()[:d])
+    devmesh = Mesh(devs, ("x",))
+    mesh = ts.grid_mesh(*dims, cell=0.2, origin=(-0.8, 0.6, -0.2))
+    arr = nhg.build_nh_grid_arrays(mesh, dims)
+    params = ts.default_cpu_params()
+    controls = ts.Controls.none().replace(
+        grab_id=np.int32(5),
+        grab_pos=np.array([0.3, 1.1, 0.1], np.float32),
+    )
+    state0 = _drop_state(mesh, vel_seed=7)
+
+    ref_step = (
+        jax.jit(nhg.step_frame)
+        .lower(state0, arr, params, controls)
+        .compile(_O0)
+    )
+    ref = state0
+    for _ in range(6):
+        ref, _ = ref_step(ref, arr, params, controls)
+
+    prepare, step, unprepare = nh_stencil.make_nh_sharded_stepper(
+        devmesh, arr, "x", interpret=True, compiler_options=_O0
+    )
+    packed = prepare(state0, params)
+    for _ in range(6):
+        packed = step(packed, params, controls)
+    out = unprepare(packed, params)
+
+    err = float(np.abs(np.asarray(out.pos) - np.asarray(ref.pos)).max())
+    assert err < 2e-5, f"sharded fused vs XLA drift {err}"
+    np.testing.assert_allclose(
+        np.asarray(out.pos)[5], [0.3, 1.1, 0.1], atol=1e-6
+    )

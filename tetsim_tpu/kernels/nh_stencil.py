@@ -114,17 +114,55 @@ def _lane_coords(geom: _NHGeometry):
     return ax, ay, az
 
 
+def _emit_sweep(plan, geom, pos_refs, imc_ref, inv_rest_pose,
+                inv_rest_volume, dt, dev_c, vol_c, roll):
+    """Emit the colored GS sweep over ``plan`` on the (writable) position
+    refs — shared by the monolithic kernel and the sharded segment
+    kernels so the color order and arithmetic are identical."""
+    rbc = geom.rbc
+    ox_ref, oy_ref, oz_ref = pos_refs
+    ax, ay, az = _lane_coords(geom)
+    for t, p, corners, cw in plan:
+        ok = (ax < cw[0]) & (ay < cw[1]) & (az < cw[2])
+        mask = jnp.where(ok, 1.0, 0.0).astype(jnp.float32)
+        pc = [
+            [
+                _shift_read(ref, b, o, rbc, roll)
+                for ref in (ox_ref, oy_ref, oz_ref)
+            ]
+            for (b, o) in corners
+        ]
+        imc = [
+            _shift_read(imc_ref, b, o, rbc, roll) for (b, o) in corners
+        ]
+        newp, _ = _solve_color(
+            pc, imc, inv_rest_pose[t], inv_rest_volume, dt, dev_c, vol_c
+        )
+        for k, (b, o) in enumerate(corners):
+            _shift_accum(
+                ox_ref, b, (newp[k][0] - pc[k][0]) * mask, o, rbc, roll
+            )
+            _shift_accum(
+                oy_ref, b, (newp[k][1] - pc[k][1]) * mask, o, rbc, roll
+            )
+            _shift_accum(
+                oz_ref, b, (newp[k][2] - pc[k][2]) * mask, o, rbc, roll
+            )
+
+
+def _roll_fn(interpret):
+    if interpret:
+        return lambda x, k: jnp.roll(x, k, axis=1)
+    return lambda x, k: pltpu.roll(x, k, axis=1)
+
+
 def _make_kernel(geom: _NHGeometry, plan, inv_rest_pose, inv_rest_volume,
                  interpret):
     rows, rbc = geom.rows, geom.rbc
     dims = geom.dims
     gy, gz = dims[1] + 1, dims[2] + 1
     hx, hy, hz = geom.h
-
-    if interpret:
-        roll = lambda x, k: jnp.roll(x, k, axis=1)
-    else:
-        roll = lambda x, k: pltpu.roll(x, k, axis=1)
+    roll = _roll_fn(interpret)
 
     def kernel(
         par_ref,   # SMEM f32 [1, 15]
@@ -170,33 +208,8 @@ def _make_kernel(geom: _NHGeometry, plan, inv_rest_pose, inv_rest_volume,
                 ovz_ref[sl] = vz
 
         # ---- the 48-color GS sweep (same order as the XLA engine) --------
-        ax, ay, az = _lane_coords(geom)
-        for t, p, corners, cw in plan:
-            ok = (ax < cw[0]) & (ay < cw[1]) & (az < cw[2])
-            mask = jnp.where(ok, 1.0, 0.0).astype(jnp.float32)
-            pc = [
-                [
-                    _shift_read(ref, b, o, rbc, roll)
-                    for ref in (ox_ref, oy_ref, oz_ref)
-                ]
-                for (b, o) in corners
-            ]
-            imc = [
-                _shift_read(imc_ref, b, o, rbc, roll) for (b, o) in corners
-            ]
-            newp, _ = _solve_color(
-                pc, imc, inv_rest_pose[t], inv_rest_volume, dt, dev_c, vol_c
-            )
-            for k, (b, o) in enumerate(corners):
-                _shift_accum(
-                    ox_ref, b, (newp[k][0] - pc[k][0]) * mask, o, rbc, roll
-                )
-                _shift_accum(
-                    oy_ref, b, (newp[k][1] - pc[k][1]) * mask, o, rbc, roll
-                )
-                _shift_accum(
-                    oz_ref, b, (newp[k][2] - pc[k][2]) * mask, o, rbc, roll
-                )
+        _emit_sweep(plan, geom, (ox_ref, oy_ref, oz_ref), imc_ref,
+                    inv_rest_pose, inv_rest_volume, dt, dev_c, vol_c, roll)
 
         # ---- collide + grab + velocity update ----------------------------
         kf = jnp.minimum(1.0, dt * friction)
@@ -412,3 +425,308 @@ def substep(state, arr, params, dt, controls, axis_name=None,
     one = params.replace(num_substeps=1)
     new, diags = step_frame(state, arr, one, controls, interpret=interpret)
     return new, diags[0]
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip slab sharding of the fused kernel
+# ---------------------------------------------------------------------------
+#
+# The monolithic kernel holds all 48 colors in VMEM — collectives cannot
+# run mid-kernel, so the sharded form splits the sweep at exactly the
+# points where slabs must communicate: the color plan's 12 cube-x-parity
+# groups (solvers/neohookean_grid.py module comment — a px=0 color updates
+# each shared vertex plane only from the RIGHT slab, px=1 only from the
+# LEFT, no cross-slab reads within a group).  Per substep: XLA predict,
+# 12 segment kernels (4 colors each, planes VMEM-resident within a
+# segment) with one ppermute vertex-plane send at each group boundary,
+# XLA collide/grab/velocity.  The trajectory equals the unsharded
+# monolith's exactly — same _emit_sweep arithmetic, same order, and the
+# exchanges only refresh replicas of values a single slab computed.
+
+
+@functools.lru_cache(maxsize=256)
+def _build_seg_call(dims, corner_slab, inv_rest_pose, inv_rest_volume,
+                    seg: int, interpret: bool):
+    """pallas_call for color group ``seg`` (4 colors = one (t, px) pair):
+    (par, imc, X, Y, Z) -> (X, Y, Z), positions aliased in/out."""
+
+    class _Arr:
+        pass
+
+    arr = _Arr()
+    arr.dims = dims
+    arr.corner_slab = corner_slab
+    geom = _NHGeometry(dims)
+    plan = _color_plan(arr)[4 * seg : 4 * seg + 4]
+    roll = _roll_fn(interpret)
+    rows = geom.rows
+
+    def kernel(par_ref, imc_ref, x_ref, y_ref, z_ref,
+               ox_ref, oy_ref, oz_ref):
+        dt = par_ref[0, 0]
+        dev_c = par_ref[0, 3]
+        vol_c = par_ref[0, 4]
+        for b in range(8):  # aliasing-safe copy-in (gs_fused pattern)
+            for r0 in range(0, rows, _CHUNK):
+                n = min(_CHUNK, rows - r0)
+                sl = (b, slice(r0, r0 + n), slice(None))
+                ox_ref[sl] = x_ref[sl]
+                oy_ref[sl] = y_ref[sl]
+                oz_ref[sl] = z_ref[sl]
+        _emit_sweep(plan, geom, (ox_ref, oy_ref, oz_ref), imc_ref,
+                    inv_rest_pose, inv_rest_volume, dt, dev_c, vol_c, roll)
+
+    full = pl.BlockSpec(
+        (8, rows, _LANES), lambda: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    plane = jax.ShapeDtypeStruct((8, rows, _LANES), jnp.float32)
+    return geom, pl.pallas_call(
+        kernel,
+        out_shape=[plane] * 3,
+        in_specs=[smem] + [full] * 4,
+        out_specs=[full] * 3,
+        input_output_aliases={2: 0, 3: 1, 4: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_budget_bytes()[1],
+        ),
+        interpret=interpret,
+    )
+
+
+def _plane_pid(geom: _NHGeometry, dims):
+    """Global-grid particle id per packed-plane entry: i32 [8, rows, 128]
+    (-2 on padding) — the XLA mirror of the monolith kernel's grab
+    decode."""
+    gy, gz = dims[1] + 1, dims[2] + 1
+    hx, hy, hz = geom.h
+    i = (
+        jax.lax.broadcasted_iota(jnp.int32, (geom.rows, _LANES), 0) * _LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (geom.rows, _LANES), 1)
+    )
+    lz = i % hz
+    ly = (i // hz) % hy
+    lx = i // (hy * hz)
+    pids = []
+    for b in range(8):
+        bx, by, bz = (b >> 2) & 1, (b >> 1) & 1, b & 1
+        gi, gj, gk = 2 * lx + bx, 2 * ly + by, 2 * lz + bz
+        valid = (
+            (i < geom.lh)
+            & (gi < dims[0] + 1) & (gj < gy) & (gk < gz)
+        )
+        pids.append(jnp.where(valid, (gi * gy + gj) * gz + gk, -2))
+    return jnp.stack(pids, axis=0)
+
+
+def make_nh_sharded_stepper(mesh, arr: NHGridArrays, axis: str = "x",
+                            interpret: bool | None = None,
+                            compiler_options=None):
+    """(prepare, step, unprepare) for the fused NH kernel sharded over
+    ``mesh``'s ``axis`` in cube-column slabs.
+
+    prepare(state, params) -> packed slab planes (6 x [d, 8, rows_l, 128])
+    step(packed, params, controls) -> packed   (one frame, jitted)
+    unprepare(packed, params) -> SimState
+
+    Weak-scaling form: each chip holds nx/d cube columns; the 12 exchanges
+    per substep move one [gy*gz] vertex plane each (~40 KB at 56^3) over
+    ICI.  compiler_options: forwarded to XLA (tests pass O0 — see
+    solvers/neohookean_grid.make_nh_sharded_step).
+
+    Compile note: 12 separate Mosaic kernels cost ~12x the per-kernel
+    compile overhead (~25 min one-time on the tunneled v5e vs ~10 min for
+    the monolith at 56^3) — amortized in production runs; use the
+    monolithic make_frame_stepper when a single chip suffices."""
+    from jax.sharding import PartitionSpec as P
+    from ..solvers.neohookean_grid import _slab_geometry
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    d = mesh.shape[axis]
+    nx, ny, nz = arr.dims
+    gx, gy, gz = nx + 1, ny + 1, nz + 1
+    lx, local_dims = _slab_geometry(arr.dims, d)
+    (hxl, hy, hz), lh_l, lhp_l = _geometry(local_dims)
+    hyz = hy * hz
+    xb_last = lx // 2
+
+    static = (local_dims, arr.corner_slab, arr.inv_rest_pose,
+              arr.inv_rest_volume)
+    geom_l, _ = _build_seg_call(*static, 0, interpret)
+    segs = [_build_seg_call(*static, s, interpret)[1] for s in range(12)]
+    rows_l = geom_l.rows
+    n_flat = geom_l.n_flat
+
+    # per-slab inv-mass planes (global lumped mass, sliced)
+    im = np.asarray(arr.inv_mass).reshape(gx, gy, gz)
+    imc = jnp.asarray(
+        np.stack(
+            [
+                np.asarray(
+                    _pack_plane(
+                        _to_blocks(
+                            jnp.asarray(
+                                im[i * lx : i * lx + lx + 1].reshape(-1)
+                            ),
+                            local_dims,
+                        ),
+                        geom_l,
+                    )
+                )
+                for i in range(d)
+            ],
+            axis=0,
+        )
+    )
+    pid_planes = _plane_pid(geom_l, local_dims)
+
+    def prepare(state: SimState, params: PhysicsParams):
+        del params
+
+        def comp(a):
+            g = a.reshape(gx, gy, gz)
+            return jnp.stack(
+                [
+                    _pack_plane(
+                        _to_blocks(
+                            g[i * lx : i * lx + lx + 1].reshape(-1),
+                            local_dims,
+                        ),
+                        geom_l,
+                    )
+                    for i in range(d)
+                ],
+                axis=0,
+            )
+
+        return tuple(
+            comp(a[:, c]) for a in (state.pos, state.vel) for c in range(3)
+        )
+
+    def unprepare(packed, params: PhysicsParams) -> SimState:
+        def comp(planes):
+            slabs = [
+                _from_blocks(
+                    planes[i].reshape(8, -1)[:, :lhp_l], local_dims
+                ).reshape(lx + 1, gy, gz)[: lx + 1 if i == d - 1 else lx]
+                for i in range(d)
+            ]
+            return jnp.concatenate(slabs, axis=0).reshape(-1)
+
+        pos = jnp.stack([comp(packed[c]) for c in range(3)], axis=-1)
+        vel = jnp.stack([comp(packed[3 + c]) for c in range(3)], axis=-1)
+        quats = jnp.zeros((arr.num_tets, 4), jnp.float32).at[:, 3].set(1.0)
+        return SimState(
+            pos=pos, prev_pos=pos - vel * params.dt, vel=vel, quats=quats
+        )
+
+    def shard_body(packed, imc_s, params, controls):
+        imc_l = imc_s[0]
+        idx = jax.lax.axis_index(axis)
+        x_offset = idx.astype(jnp.int32) * (lx * gy * gz)
+        par = _params_vec(params, controls)
+        gid = controls.grab_id.astype(jnp.int32)
+        pid = jnp.where(pid_planes >= 0, pid_planes + x_offset, pid_planes)
+        movable = imc_l > 0.0
+        dt = params.dt
+
+        def exchange(X, Y, Z, to_px):
+            if d == 1:
+                return X, Y, Z
+            if to_px == 1:
+                perm = [(i, i - 1) for i in range(1, d)]
+                src = slice(0, hyz)
+                dst = slice(xb_last * hyz, xb_last * hyz + hyz)
+                keep = idx < d - 1
+            else:
+                perm = [(i, i + 1) for i in range(d - 1)]
+                src = slice(xb_last * hyz, xb_last * hyz + hyz)
+                dst = slice(0, hyz)
+                keep = idx > 0
+
+            def ex(A):
+                f = A.reshape(8, n_flat)
+                recv = jax.lax.ppermute(f[0:4, src], axis, perm)
+                cur = f[0:4, dst]
+                f = f.at[0:4, dst].set(jnp.where(keep, recv, cur))
+                return f.reshape(8, rows_l, _LANES)
+
+            return ex(X), ex(Y), ex(Z)
+
+        def substep(carry, _):
+            X, Y, Z, VX, VY, VZ = carry
+            # predict (XLA): mirrors the monolith's in-kernel phase
+            vx = jnp.where(movable, VX, 0.0)
+            vy = jnp.where(movable, VY + params.gravity * dt, 0.0)
+            vz = jnp.where(movable, VZ, 0.0)
+            PX, PY, PZ = X, Y, Z
+            X, Y, Z = X + vx * dt, Y + vy * dt, Z + vz * dt
+
+            for s in range(12):
+                if s > 0:
+                    # plan is type-major, px-minor: odd segments are px=1
+                    X, Y, Z = exchange(X, Y, Z, s % 2)
+                X, Y, Z = segs[s](par, imc_l, X, Y, Z)
+            X, Y, Z = exchange(X, Y, Z, 0)  # final px=1 updates -> right
+
+            # collide + grab + velocity (XLA)
+            X = jnp.clip(X, params.world_min[0], params.world_max[0])
+            Y = jnp.clip(Y, params.world_min[1], params.world_max[1])
+            Z = jnp.clip(Z, params.world_min[2], params.world_max[2])
+            below = Y < 0.0
+            Y = jnp.where(below, 0.0, Y)
+            kf = jnp.minimum(1.0, dt * params.friction)
+            X = X + jnp.where(below, (PX - X) * kf, 0.0)
+            Z = Z + jnp.where(below, (PZ - Z) * kf, 0.0)
+            hit = pid == gid
+            X = jnp.where(hit, controls.grab_pos[0], X)
+            Y = jnp.where(hit, controls.grab_pos[1], Y)
+            Z = jnp.where(hit, controls.grab_pos[2], Z)
+            VX, VY, VZ = (X - PX) / dt, (Y - PY) / dt, (Z - PZ) / dt
+            return (X, Y, Z, VX, VY, VZ), None
+
+        carry0 = tuple(a[0] for a in packed)
+        carry, _ = jax.lax.scan(
+            substep, carry0, None, length=params.num_substeps
+        )
+        return tuple(a[None] for a in carry)
+
+    slab_p = (P(axis),) * 6
+
+    @jax.jit
+    def _step_jit(packed, params, controls):
+        pm_specs = jax.tree.map(lambda _: P(), params)
+        ct_specs = jax.tree.map(lambda _: P(), controls)
+        fn = jax.shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(slab_p, P(axis), pm_specs, ct_specs),
+            out_specs=slab_p,
+            check_vma=False,
+        )
+        return fn(packed, imc, params, controls)
+
+    if compiler_options is None:
+        step_inner = _step_jit
+    else:
+        cache = {}
+
+        def step_inner(packed, params, controls):
+            key = params.num_substeps
+            if key not in cache:
+                cache[key] = _step_jit.lower(
+                    packed, params, controls
+                ).compile(compiler_options)
+            return cache[key](packed, params, controls)
+
+    if mesh.devices.flat[0].platform != "cpu":
+        return prepare, step_inner, unprepare
+
+    def step_sync(packed, params, controls):
+        # serialize dispatch on the CPU test backend (parallel/sharding.py)
+        out = step_inner(packed, params, controls)
+        jax.block_until_ready(out)
+        return out
+
+    return prepare, step_sync, unprepare
