@@ -156,8 +156,107 @@ def _roll_fn(interpret):
     return lambda x, k: pltpu.roll(x, k, axis=1)
 
 
+def _plan_tables(plan):
+    """Static color plan -> i32 tables for the dynamic (fori) sweep:
+    (b [C,4] block ids, o [C,4] flat lane offsets, cw [C,3] windows)."""
+    b = np.array([[c[0] for c in corners] for _, _, corners, _ in plan],
+                 np.int32)
+    o = np.array([[c[1] for c in corners] for _, _, corners, _ in plan],
+                 np.int32)
+    cw = np.array([list(cw) for _, _, _, cw in plan], np.int32)
+    return b, o, cw
+
+
+def _shift_read_dyn(ref, b, o, rbc, roll):
+    """_shift_read with TRACED block id and lane offset (SMEM scalars)."""
+    q = o // _LANES
+    s = o % _LANES
+    w = ref[pl.ds(b, 1), pl.ds(q, rbc + 8), :][0]
+    a = w[0:rbc]
+    bv = w[1 : rbc + 1]
+    sr = (_LANES - s) % _LANES
+    ra = roll(a, sr)
+    rb = roll(bv, sr)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rbc, _LANES), 1)
+    return jnp.where(lane < _LANES - s, ra, rb)
+
+
+def _shift_accum_dyn(ref, b, val, o, rbc, roll):
+    """_shift_accum with TRACED block id and lane offset."""
+    q = o // _LANES
+    s = o % _LANES
+    shifted = roll(val, s)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rbc, _LANES), 1)
+    zero = jnp.zeros_like(val)
+    ref[pl.ds(b, 1), pl.ds(q, rbc), :] += jnp.where(
+        lane >= s, shifted, zero
+    )[None]
+    ref[pl.ds(b, 1), pl.ds(q + 1, rbc), :] += jnp.where(
+        lane < s, shifted, zero
+    )[None]
+
+
+def _emit_sweep_dyn(plan_len, geom, pos_refs, imc_ref, btab_ref, otab_ref,
+                    cwtab_ref, inv_rest_pose, inv_rest_volume, dt, dev_c,
+                    vol_c, roll):
+    """The colored GS sweep as 6 fori_loops over parity colors.
+
+    The unrolled _emit_sweep traces 48 colors x ~30 stencil ops — minutes
+    of Mosaic/LLVM compile.  Since the 8 parity colors of a type run the
+    SAME arithmetic with different (block id, lane offset, window) CONSTANTS,
+    they fold into one fori_loop iteration reading those constants from
+    SMEM tables: 6 traced color bodies instead of 48 (~8x less code).
+    Dynamic machinery: pl.ds with traced starts + pltpu.roll with traced
+    shift.  inv_rest_pose stays a per-type compile-time constant (the
+    outer type loop remains unrolled)."""
+    rbc = geom.rbc
+    ox_ref, oy_ref, oz_ref = pos_refs
+    ax, ay, az = _lane_coords(geom)
+    per_t = plan_len // 6
+
+    for t in range(6):
+        def body(pi, _, t=t):
+            ci = t * per_t + pi
+            cw = [cwtab_ref[ci, i] for i in range(3)]
+            ok = (ax < cw[0]) & (ay < cw[1]) & (az < cw[2])
+            mask = jnp.where(ok, 1.0, 0.0).astype(jnp.float32)
+            bs = [btab_ref[ci, k] for k in range(4)]
+            os_ = [otab_ref[ci, k] for k in range(4)]
+            pc = [
+                [
+                    _shift_read_dyn(ref, bs[k], os_[k], rbc, roll)
+                    for ref in (ox_ref, oy_ref, oz_ref)
+                ]
+                for k in range(4)
+            ]
+            imc = [
+                _shift_read_dyn(imc_ref, bs[k], os_[k], rbc, roll)
+                for k in range(4)
+            ]
+            newp, _ = _solve_color(
+                pc, imc, inv_rest_pose[t], inv_rest_volume, dt, dev_c,
+                vol_c,
+            )
+            for k in range(4):
+                _shift_accum_dyn(
+                    ox_ref, bs[k], (newp[k][0] - pc[k][0]) * mask,
+                    os_[k], rbc, roll,
+                )
+                _shift_accum_dyn(
+                    oy_ref, bs[k], (newp[k][1] - pc[k][1]) * mask,
+                    os_[k], rbc, roll,
+                )
+                _shift_accum_dyn(
+                    oz_ref, bs[k], (newp[k][2] - pc[k][2]) * mask,
+                    os_[k], rbc, roll,
+                )
+            return 0
+
+        jax.lax.fori_loop(0, per_t, body, 0)
+
+
 def _make_kernel(geom: _NHGeometry, plan, inv_rest_pose, inv_rest_volume,
-                 interpret):
+                 interpret, dynamic=False):
     rows, rbc = geom.rows, geom.rbc
     dims = geom.dims
     gy, gz = dims[1] + 1, dims[2] + 1
@@ -167,13 +266,19 @@ def _make_kernel(geom: _NHGeometry, plan, inv_rest_pose, inv_rest_volume,
     def kernel(
         par_ref,   # SMEM f32 [1, 15]
         gid_ref,   # SMEM i32 [1, 1]
-        imc_ref,   # VMEM f32 [8, rows, 128] inv mass blocks
-        x_ref, y_ref, z_ref,     # VMEM f32 [8, rows, 128] pos (aliased out)
-        vx_ref, vy_ref, vz_ref,  # VMEM f32 [8, rows, 128] vel (aliased out)
-        ox_ref, oy_ref, oz_ref,  # outputs (alias the pos inputs)
-        ovx_ref, ovy_ref, ovz_ref,  # outputs (alias the vel inputs)
-        px_ref, py_ref, pz_ref,  # VMEM scratch: prev pos
+        *rest,
     ):
+        if dynamic:
+            btab_ref, otab_ref, cwtab_ref = rest[:3]
+            rest = rest[3:]
+        (
+            imc_ref,   # VMEM f32 [8, rows, 128] inv mass blocks
+            x_ref, y_ref, z_ref,     # VMEM pos (aliased out)
+            vx_ref, vy_ref, vz_ref,  # VMEM vel (aliased out)
+            ox_ref, oy_ref, oz_ref,  # outputs (alias the pos inputs)
+            ovx_ref, ovy_ref, ovz_ref,  # outputs (alias the vel inputs)
+            px_ref, py_ref, pz_ref,  # VMEM scratch: prev pos
+        ) = rest
         dt = par_ref[0, 0]
         gravity = par_ref[0, 1]
         friction = par_ref[0, 2]
@@ -208,8 +313,15 @@ def _make_kernel(geom: _NHGeometry, plan, inv_rest_pose, inv_rest_volume,
                 ovz_ref[sl] = vz
 
         # ---- the 48-color GS sweep (same order as the XLA engine) --------
-        _emit_sweep(plan, geom, (ox_ref, oy_ref, oz_ref), imc_ref,
-                    inv_rest_pose, inv_rest_volume, dt, dev_c, vol_c, roll)
+        if dynamic:
+            _emit_sweep_dyn(len(plan), geom, (ox_ref, oy_ref, oz_ref),
+                            imc_ref, btab_ref, otab_ref, cwtab_ref,
+                            inv_rest_pose, inv_rest_volume, dt, dev_c,
+                            vol_c, roll)
+        else:
+            _emit_sweep(plan, geom, (ox_ref, oy_ref, oz_ref), imc_ref,
+                        inv_rest_pose, inv_rest_volume, dt, dev_c, vol_c,
+                        roll)
 
         # ---- collide + grab + velocity update ----------------------------
         kf = jnp.minimum(1.0, dt * friction)
@@ -263,8 +375,12 @@ def _make_kernel(geom: _NHGeometry, plan, inv_rest_pose, inv_rest_volume,
 
 @functools.lru_cache(maxsize=16)
 def _build_call(dims, corner_slab, inv_rest_pose, inv_rest_volume,
-                interpret: bool):
-    """Per-substep pallas_call for `dims` (cached; all args static)."""
+                interpret: bool, dynamic: bool = False):
+    """Per-substep pallas_call for `dims` (cached; all args static).
+
+    Returns (geom, call, tables): ``tables`` is None in unrolled mode, or
+    the (b, o, cw) SMEM plan tables the dynamic-sweep call expects as
+    extra leading operands."""
 
     class _Arr:  # minimal static view for _color_plan
         pass
@@ -275,7 +391,7 @@ def _build_call(dims, corner_slab, inv_rest_pose, inv_rest_volume,
     geom = _NHGeometry(dims)
     plan = _color_plan(arr)
     kernel = _make_kernel(geom, plan, inv_rest_pose, inv_rest_volume,
-                          interpret)
+                          interpret, dynamic=dynamic)
     rows = geom.rows
 
     full = pl.BlockSpec(
@@ -283,20 +399,26 @@ def _build_call(dims, corner_slab, inv_rest_pose, inv_rest_volume,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     plane = jax.ShapeDtypeStruct((8, rows, _LANES), jnp.float32)
+    n_tab = 3 if dynamic else 0
+    base = 3 + n_tab  # operand index of the first aliased plane
 
-    return geom, pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         out_shape=[plane] * 6,
-        in_specs=[smem, smem] + [full] * 7,
+        in_specs=[smem] * (2 + n_tab) + [full] * 7,
         out_specs=[full] * 6,
-        # pos/vel update in place: inputs 3..8 alias outputs 0..5
-        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3, 7: 4, 8: 5},
+        # pos/vel update in place: plane inputs alias outputs 0..5
+        input_output_aliases={base + i: i for i in range(6)},
         scratch_shapes=[pltpu.VMEM((8, rows, _LANES), jnp.float32)] * 3,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_budget_bytes()[1],
         ),
         interpret=interpret,
     )
+    # cache NumPy, not jnp (CLAUDE.md: jnp values must not be lru_cached —
+    # callers convert per call, so tracing contexts stay clean)
+    tables = _plan_tables(plan) if dynamic else None
+    return geom, call, tables
 
 
 def _params_vec(params: PhysicsParams, controls: Controls):
@@ -331,17 +453,30 @@ def _unpack_plane(plane, dims):
     return _from_blocks(plane.reshape(8, -1)[:, :lhp], dims)
 
 
-def make_frame_stepper(arr: NHGridArrays, interpret: bool | None = None):
+def make_frame_stepper(arr: NHGridArrays, interpret: bool | None = None,
+                       dynamic: bool | None = None):
     """(pack, step, unpack, unpack_pos) with state in kernel layout.
 
     Mirrors kernels/polar_stencil.make_frame_stepper: ``pack`` once, then
     ``step`` keeps the packed pytree on device across frames (the fast path
     for sustained simulation / the viewer), ``unpack`` only at I/O
     boundaries.
+
+    dynamic: fold the 8 parity colors of each type into one in-kernel
+    fori_loop reading (block id, offset, window) from SMEM tables —
+    ~8x less traced/compiled code than the fully unrolled sweep, same
+    arithmetic (see _emit_sweep_dyn).  Default False (measured-default;
+    flip per BENCHNOTES once the runtime cost of dynamic rolls is
+    quantified on hardware).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    geom, call = _build_call(*_static_key(arr), interpret)
+    if dynamic is None:
+        dynamic = False
+    geom, call, tables = _build_call(*_static_key(arr), interpret, dynamic)
+    tabs = (
+        tuple(jnp.asarray(t) for t in tables) if tables is not None else ()
+    )
     dims = arr.dims
     imc = _pack_plane(arr.inv_mass_blocks, geom)
 
@@ -364,7 +499,7 @@ def make_frame_stepper(arr: NHGridArrays, interpret: bool | None = None):
         gid = controls.grab_id.astype(jnp.int32).reshape(1, 1)
 
         def substep(carry, _):
-            out = call(par, gid, imc, *carry)
+            out = call(par, gid, *tabs, imc, *carry)
             return tuple(out), None
 
         packed, _ = jax.lax.scan(
