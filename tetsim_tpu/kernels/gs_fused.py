@@ -431,17 +431,9 @@ class FusedGSBody:
         step() calls run under shard_map."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        names = (axis,) if isinstance(axis, str) else tuple(axis)
-        d = 1
-        for n in names:
-            d *= mesh.shape[n]
-        b_loc = self.B // d
-        blk = min(self.B_blk, b_loc)
-        if self.B % d != 0 or b_loc % 8 != 0 or b_loc % blk != 0:
-            raise ValueError(
-                f"batch of {self.B} bodies must split across {d} devices "
-                "into whole 8-body sublane blocks; pad num_bodies"
-            )
+        from .schedule import body_shard_config
+
+        names, b_loc, blk = body_shard_config(mesh, axis, self.B, self.B_blk)
         self._shard_cfg = (mesh, names, b_loc, blk)
         self._sharded_cache = {}
         body_sp = NamedSharding(mesh, P(None, names))
@@ -463,41 +455,17 @@ class FusedGSBody:
             num_substeps, self.interpret,
         )
 
-        from jax.sharding import PartitionSpec as P
+        from .schedule import make_body_sharded_step
 
-        body = P(None, names)
-        ctrl = P(names)
-        rep = P()
-        sm = jax.shard_map(
-            lambda st, par, gid, gpos, ids, inv, irp, irv, imc: call(
-                par, gid, gpos, st, ids, inv, irp, irv, imc
-            ),
-            mesh=mesh,
-            in_specs=(body, rep, ctrl, ctrl) + (rep,) * 5,
-            out_specs=body,
-            check_vma=False,
-        )
+        inner = make_body_sharded_step(mesh, names, call, n_state=1,
+                                       n_tables=5)
+        tables = (self._ids, self._inv, self._irp, self._irv, self._imc)
 
-        @jax.jit
         def step(state, par, gid, gpos):
-            return sm(
-                state, par, gid, gpos,
-                self._ids, self._inv, self._irp, self._irv, self._imc,
-            )
+            return inner(par, gid, gpos, state, *tables)
 
-        if mesh.devices.flat[0].platform == "cpu":
-            # serialize dispatch on the CPU test backend (see
-            # parallel/sharding.py: XLA-CPU's in-process communicator
-            # deadlocks under interleaved async dispatches)
-            def step_sync(*a):
-                out = step(*a)
-                jax.block_until_ready(out)
-                return out
-
-            self._sharded_cache[num_substeps] = step_sync
-        else:
-            self._sharded_cache[num_substeps] = step
-        return self._sharded_cache[num_substeps]
+        self._sharded_cache[num_substeps] = step
+        return step
 
     # -- views ---------------------------------------------------------------
     def positions(self) -> np.ndarray:

@@ -45,6 +45,8 @@ from ..solvers.neohookean_grid import (
     _solve_color,
     _to_blocks,
     _from_blocks,
+    collide_grab_phase as nhg_collide_grab,
+    predict_phase as nhg_predict,
 )
 
 _LANES = 128
@@ -761,9 +763,7 @@ def make_nh_sharded_stepper(mesh, arr: NHGridArrays, axis: str = "x",
         idx = jax.lax.axis_index(axis)
         x_offset = idx.astype(jnp.int32) * (lx * gy * gz)
         par = _params_vec(params, controls)
-        gid = controls.grab_id.astype(jnp.int32)
         pid = jnp.where(pid_planes >= 0, pid_planes + x_offset, pid_planes)
-        movable = imc_l > 0.0
         dt = params.dt
 
         def exchange(X, Y, Z, to_px):
@@ -791,12 +791,13 @@ def make_nh_sharded_stepper(mesh, arr: NHGridArrays, axis: str = "x",
 
         def substep(carry, _):
             X, Y, Z, VX, VY, VZ = carry
-            # predict (XLA): mirrors the monolith's in-kernel phase
-            vx = jnp.where(movable, VX, 0.0)
-            vy = jnp.where(movable, VY + params.gravity * dt, 0.0)
-            vz = jnp.where(movable, VZ, 0.0)
             PX, PY, PZ = X, Y, Z
-            X, Y, Z = X + vx * dt, Y + vy * dt, Z + vz * dt
+            # predict + collide/grab/velocity are the XLA engine's shared
+            # phase helpers (solvers/neohookean_grid) on plane-shaped
+            # arrays — one source of semantics, not a third copy
+            X, Y, Z, VX, VY, VZ = nhg_predict(
+                imc_l, X, Y, Z, VX, VY, VZ, params, dt
+            )
 
             for s in range(12):
                 if s > 0:
@@ -805,20 +806,9 @@ def make_nh_sharded_stepper(mesh, arr: NHGridArrays, axis: str = "x",
                 X, Y, Z = segs[s](par, imc_l, X, Y, Z)
             X, Y, Z = exchange(X, Y, Z, 0)  # final px=1 updates -> right
 
-            # collide + grab + velocity (XLA)
-            X = jnp.clip(X, params.world_min[0], params.world_max[0])
-            Y = jnp.clip(Y, params.world_min[1], params.world_max[1])
-            Z = jnp.clip(Z, params.world_min[2], params.world_max[2])
-            below = Y < 0.0
-            Y = jnp.where(below, 0.0, Y)
-            kf = jnp.minimum(1.0, dt * params.friction)
-            X = X + jnp.where(below, (PX - X) * kf, 0.0)
-            Z = Z + jnp.where(below, (PZ - Z) * kf, 0.0)
-            hit = pid == gid
-            X = jnp.where(hit, controls.grab_pos[0], X)
-            Y = jnp.where(hit, controls.grab_pos[1], Y)
-            Z = jnp.where(hit, controls.grab_pos[2], Z)
-            VX, VY, VZ = (X - PX) / dt, (Y - PY) / dt, (Z - PZ) / dt
+            X, Y, Z, VX, VY, VZ = nhg_collide_grab(
+                X, Y, Z, PX, PY, PZ, pid, params, dt, controls
+            )
             return (X, Y, Z, VX, VY, VZ), None
 
         carry0 = tuple(a[0] for a in packed)

@@ -543,19 +543,9 @@ class FusedPolarBody:
         Subsequent step() calls run under shard_map."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        names = (axis,) if isinstance(axis, str) else tuple(axis)
-        d = 1
-        for n in names:
-            d *= mesh.shape[n]
-        b_loc = self.B // d
-        # the per-device block may be smaller than the single-device one
-        # (same VMEM budget, fewer bodies per device)
-        blk = min(self.B_blk, b_loc)
-        if self.B % d != 0 or b_loc % 8 != 0 or b_loc % blk != 0:
-            raise ValueError(
-                f"batch of {self.B} bodies must split across {d} devices "
-                "into whole 8-body sublane blocks; pad num_bodies"
-            )
+        from .schedule import body_shard_config
+
+        names, b_loc, blk = body_shard_config(mesh, axis, self.B, self.B_blk)
         self._shard_cfg = (mesh, names, b_loc, blk)
         self._sharded_cache = {}
         body_sp = NamedSharding(mesh, P(None, names))
@@ -578,48 +568,18 @@ class FusedPolarBody:
             self._vmem_limit, num_substeps, self.interpret,
         )
 
-        def local(state, quats, par, gid, gpos, ids, inc, rc, wvol, movw,
-                  invden):
-            new_state, new_quats = call(
-                par, gid, gpos, state, quats, ids, inc, rc, wvol, movw,
-                invden,
-            )
-            return new_state, new_quats
+        from .schedule import make_body_sharded_step
 
-        from jax.sharding import PartitionSpec as P
+        inner = make_body_sharded_step(mesh, names, call, n_state=2,
+                                       n_tables=6)
+        tables = (self._ids, self._inc, self._rc, self._wvol,
+                  self._movw, self._invden)
 
-        body = P(None, names)
-        ctrl = P(names)
-        rep = P()
-        sm = jax.shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(body, body, rep, ctrl, ctrl) + (rep,) * 6,
-            out_specs=(body, body),
-            check_vma=False,
-        )
-
-        @jax.jit
         def step(state, quats, par, gid, gpos):
-            return sm(
-                state, quats, par, gid, gpos,
-                self._ids, self._inc, self._rc, self._wvol,
-                self._movw, self._invden,
-            )
+            return inner(par, gid, gpos, state, quats, *tables)
 
-        if mesh.devices.flat[0].platform == "cpu":
-            # serialize dispatch on the CPU test backend (XLA-CPU's
-            # in-process communicator deadlocks under interleaved async
-            # dispatches; see parallel/sharding.py)
-            def step_sync(*a):
-                out = step(*a)
-                jax.block_until_ready(out)
-                return out
-
-            self._sharded_cache[num_substeps] = step_sync
-        else:
-            self._sharded_cache[num_substeps] = step
-        return self._sharded_cache[num_substeps]
+        self._sharded_cache[num_substeps] = step
+        return step
 
     # -- views ----------------------------------------------------------------
     def positions(self) -> np.ndarray:

@@ -85,6 +85,8 @@ class PiecesSchedule:
     # global per-particle constants
     invden: np.ndarray   # f32 [N]
     movw: np.ndarray     # f32 [N]
+    inv_mass: np.ndarray  # f32 [N] (kept so build_pieces_arrays does not
+    #                       re-run the full rest_state pass for it)
     num_particles: int
     num_tets: int
     n_pieces: int
@@ -264,7 +266,7 @@ def build_pieces_schedule(
         g2l=g2l, tet_l2g=tet_l2g, tet_inst=tet_inst,
         owner_inst=owner_inst, bnd_inst=bnd_inst,
         tier_counts=tuple(tier_counts), lane_bnd=lane_bnd,
-        invden=invden, movw=movw,
+        invden=invden, movw=movw, inv_mass=np.asarray(im, np.float32),
         num_particles=n, num_tets=m, n_pieces=n_pieces, B=b_pad,
         rp=rp, rt=rt, valence=kmax,
         gather_tiles=tile_lists(ids, rt),
@@ -477,7 +479,7 @@ def build_pieces_arrays(
     pinned=None,
 ) -> PiecesArrays:
     s = build_pieces_schedule(mesh, density, tets_per_piece, pinned)
-    _, _, _, im, _ = rest_state(mesh, density, pinned=pinned)
+    im = s.inv_mass  # computed by the schedule's rest_state pass already
     n = s.num_particles
     invden_pad = np.concatenate([s.invden, np.zeros(1, np.float32)])
     movw_pad = np.concatenate([s.movw, np.zeros(1, np.float32)])

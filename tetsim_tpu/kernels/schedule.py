@@ -33,11 +33,12 @@ def vmem_budget_bytes() -> tuple[int, int]:
     The Pallas default scoped limit (16 MB) is a SOFT cap; v5e's physical
     VMEM is 128 MB and a 100 MB limit is measured to compile and run
     (BENCHNOTES "VMEM soft-limit unlock").  v4/v5p/v6e have >=128 MB VMEM
-    as well, so they get the same budget.  Unknown or older TPU
-    generations (and non-TPU backends, where the kernels run in interpret
-    mode and VMEM is irrelevant) fall back to a conservative 14 MB budget
-    under the 16 MB default so sizing failures happen at build time with
-    an actionable error, not as an opaque Mosaic allocation failure.
+    as well, so they get the same budget.  Non-TPU backends (interpret
+    mode — no real VMEM) get the v5e budget too, so block sizing in the
+    hermetic CPU suite matches hardware behavior.  Only unknown/older TPU
+    generations fall back to a conservative 14 MB budget under the 16 MB
+    default, so sizing failures happen at build time with an actionable
+    error, not as an opaque Mosaic allocation failure.
     """
     try:
         import jax
@@ -196,3 +197,65 @@ def build_vmem_schedule(
         gather_tiles=tile_lists(ids),
         scatter_tiles=tile_lists(inv),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared body-axis data-parallel sharding (FusedGSBody / FusedPolarBody)
+# ---------------------------------------------------------------------------
+
+
+def body_shard_config(mesh, axis, B: int, B_blk: int):
+    """Validate a body-batch split over ``mesh``'s ``axis`` (name or tuple
+    of names) and return (names, bodies_per_device, per_device_block).
+
+    Bodies pack 8 per sublane row and stream through the kernel in blocks,
+    so each device's share must be whole sublane rows and whole blocks."""
+    names = (axis,) if isinstance(axis, str) else tuple(axis)
+    d = 1
+    for n in names:
+        d *= mesh.shape[n]
+    b_loc = B // d
+    # the per-device block may be smaller than the single-device one
+    # (same VMEM budget, fewer bodies per device)
+    blk = min(B_blk, b_loc)
+    if B % d != 0 or b_loc % 8 != 0 or b_loc % blk != 0:
+        raise ValueError(
+            f"batch of {B} bodies must split across {d} devices "
+            "into whole 8-body sublane blocks; pad num_bodies"
+        )
+    return names, b_loc, blk
+
+
+def make_body_sharded_step(mesh, names, call, n_state: int, n_tables: int):
+    """jitted shard_map of a fused per-device kernel over the body axis.
+
+    ``call(par, gid, gpos, *state, *tables)`` -> state (or state tuple):
+    state arrays are [planes, B, R] (bodies on dim 1 -> P(None, names)),
+    par replicated, gid/gpos per-body P(names), tables replicated.
+    On the CPU test backend the returned step serializes dispatch
+    (XLA-CPU's in-process communicator deadlocks under interleaved async
+    dispatches; see parallel/sharding.py)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    body = P(None, names)
+    ctrl = P(names)
+    rep = P()
+    out_specs = (body,) * n_state if n_state > 1 else body
+    sm = jax.shard_map(
+        call,
+        mesh=mesh,
+        in_specs=(rep, ctrl, ctrl) + (body,) * n_state + (rep,) * n_tables,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    step = jax.jit(sm)
+    if mesh.devices.flat[0].platform != "cpu":
+        return step
+
+    def step_sync(*a):
+        out = step(*a)
+        jax.block_until_ready(out)
+        return out
+
+    return step_sync

@@ -412,23 +412,25 @@ def _gs_sweep(X, Y, Z, arr: NHGridArrays, dt, params: PhysicsParams,
     return X, Y, Z, vol_err
 
 
-def _substep_blocks(carry, arr: NHGridArrays, params, dt, controls: Controls,
-                    exchange=None, x_offset=None):
-    X, Y, Z, VX, VY, VZ = carry
-    movable = arr.inv_mass_blocks > 0.0
-
-    # predict (common.predict semantics: gravity in prediction, pinned gate)
+def predict_phase(imc, X, Y, Z, VX, VY, VZ, params, dt):
+    """Predict (common.predict semantics: gravity in prediction, pinned
+    gate).  Shape-polymorphic elementwise phase shared by the XLA engine
+    ([8, LHp] blocks) and the fused kernel's sharded form ([8, rows, 128]
+    planes) — the SINGLE source of these semantics outside the in-kernel
+    copy (kernels/nh_stencil._make_kernel, parity-locked by tests).
+    Returns (X, Y, Z, VX, VY, VZ) integrated/gated; prev = the inputs."""
+    movable = imc > 0.0
     VY = VY + params.gravity * dt
     VX = jnp.where(movable, VX, 0.0)
     VY = jnp.where(movable, VY, 0.0)
     VZ = jnp.where(movable, VZ, 0.0)
-    PX, PY, PZ = X, Y, Z
-    X, Y, Z = X + VX * dt, Y + VY * dt, Z + VZ * dt
+    return X + VX * dt, Y + VY * dt, Z + VZ * dt, VX, VY, VZ
 
-    X, Y, Z, vol_err = _gs_sweep(X, Y, Z, arr, dt, params,
-                                 exchange=exchange)
 
-    # collide (common.collide semantics)
+def collide_grab_phase(X, Y, Z, PX, PY, PZ, pid, params, dt,
+                       controls: Controls):
+    """Collide + grab override + velocity update (common.collide /
+    apply_grab semantics) — shape-polymorphic, see predict_phase."""
     X = jnp.clip(X, params.world_min[0], params.world_max[0])
     Y = jnp.clip(Y, params.world_min[1], params.world_max[1])
     Z = jnp.clip(Z, params.world_min[2], params.world_max[2])
@@ -437,8 +439,24 @@ def _substep_blocks(carry, arr: NHGridArrays, params, dt, controls: Controls,
     k = jnp.minimum(1.0, dt * params.friction)
     X = X + jnp.where(below, (PX - X) * k, 0.0)
     Z = Z + jnp.where(below, (PZ - Z) * k, 0.0)
+    hit = pid == controls.grab_id
+    X = jnp.where(hit, controls.grab_pos[0], X)
+    Y = jnp.where(hit, controls.grab_pos[1], Y)
+    Z = jnp.where(hit, controls.grab_pos[2], Z)
+    return X, Y, Z, (X - PX) / dt, (Y - PY) / dt, (Z - PZ) / dt
 
-    # grab override (scalar grab id, common.apply_grab semantics)
+
+def _substep_blocks(carry, arr: NHGridArrays, params, dt, controls: Controls,
+                    exchange=None, x_offset=None):
+    X, Y, Z, VX, VY, VZ = carry
+    PX, PY, PZ = X, Y, Z
+    X, Y, Z, VX, VY, VZ = predict_phase(
+        arr.inv_mass_blocks, X, Y, Z, VX, VY, VZ, params, dt
+    )
+
+    X, Y, Z, vol_err = _gs_sweep(X, Y, Z, arr, dt, params,
+                                 exchange=exchange)
+
     gid = controls.grab_id
     if gid.ndim != 0:
         raise NotImplementedError(
@@ -452,13 +470,9 @@ def _substep_blocks(carry, arr: NHGridArrays, params, dt, controls: Controls,
         # slab sharding: local block pid -> global particle id (the slab's
         # first vertex plane starts x_offset vertices into the global grid)
         pid = jnp.where(pid >= 0, pid + x_offset, pid)
-    hit = pid == gid
-    X = jnp.where(hit, controls.grab_pos[0], X)
-    Y = jnp.where(hit, controls.grab_pos[1], Y)
-    Z = jnp.where(hit, controls.grab_pos[2], Z)
-
-    # velocity update
-    VX, VY, VZ = (X - PX) / dt, (Y - PY) / dt, (Z - PZ) / dt
+    X, Y, Z, VX, VY, VZ = collide_grab_phase(
+        X, Y, Z, PX, PY, PZ, pid, params, dt, controls
+    )
     return (X, Y, Z, VX, VY, VZ), (
         (PX, PY, PZ),
         vol_err / arr.num_tets,

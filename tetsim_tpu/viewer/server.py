@@ -500,6 +500,7 @@ class ViewerServer:
             t0 = time.perf_counter()
             with self._lock:
                 vns = self._step_world(batch)
+                step_s = time.perf_counter() - t0
                 self.frame += batch
                 # dispatch this frame's export (async) under the lock...
                 export = self._export_device(precomputed=vns)
@@ -512,7 +513,13 @@ class ViewerServer:
                 self._cached_state = self._assemble_blob(*pending)
             pending = export
             dt_wall = time.perf_counter() - t0
-            self.last_step_ms = dt_wall * 1e3 / batch
+            # HUD metric: the step alone — dt_wall also covers the export
+            # dispatch and the PREVIOUS frame's blob assembly, which are
+            # deliberately overlapped with device work and would
+            # double-count into a "per-frame step" number (dt_wall still
+            # drives the pacing/batching below, where total loop cost is
+            # the right signal)
+            self.last_step_ms = step_s * 1e3 / batch
             # Adaptive frame batching with hysteresis: when one dispatch
             # cannot keep real-time pace (the ~35 ms per-dispatch round
             # trip dominates at interactive sizes), advance several frames
