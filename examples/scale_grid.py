@@ -5,6 +5,9 @@ tets at 0.67 ms/substep on one v5e chip (BENCHNOTES.md).
   python examples/scale_grid.py               # 16^3 = 24,576 tets, headless
   python examples/scale_grid.py --n 56        # the 1M-tet BASELINE config
   python examples/scale_grid.py --viewer      # interactive (drag the box!)
+  python examples/scale_grid.py --engine neohookean   # reference-fidelity
+                      # physics through kernels/nh_stencil.py (0.168
+                      # ms/substep at 1M tets — the fastest 1M path)
 
 Headless mode drops the box, lets it settle on the floor, and reports the
 sustained frame rate plus physics diagnostics.  Off-TPU the kernel runs in
@@ -30,15 +33,21 @@ def main():
     ap.add_argument("--substeps", type=int, default=5)
     ap.add_argument("--viewer", action="store_true")
     ap.add_argument("--port", type=int, default=8787)
+    ap.add_argument("--engine", default="polar",
+                    choices=["polar", "neohookean"],
+                    help="fused kernel family: polar shape matching or "
+                    "reference-fidelity Neo-Hookean GS")
     args = ap.parse_args()
 
     n = args.n
     cell = 1.0 / n  # ~1 m box regardless of resolution
     params = ts.PhysicsParams(num_substeps=args.substeps)
     world = ts.World(params)
+    grid_engine = ("neohookean_grid_pallas" if args.engine == "neohookean"
+                   else "polar_grid_pallas")
     body = world.add_grid_body(
         (n, n, n), cell=cell, origin=(-0.5, 0.75, -0.5),
-        engine="polar_grid_pallas", packed=True,
+        engine=grid_engine, packed=True,
         with_edges=args.viewer and n <= 32,
     )
     print(f"grid {n}^3: {body.mesh.num_tets:,} tets / "
