@@ -28,6 +28,67 @@ import numpy as np
 BASELINE_SUBSTEPS_PER_SEC = 300.0  # reference CPU path @60Hz (main.js:25-27)
 
 
+def _device_canary(timeout_s: float = 120.0):
+    """Fail FAST if the device backend is unavailable or the relay is
+    wedged (VERDICT r3: one wedge at snapshot time zeroed the round's
+    bench after a long hang).  Probes the default backend with a tiny
+    data-dependent computation in a daemon thread; a hang or init error
+    surfaces as a clear one-line rc=1 within timeout_s instead of a
+    25-minute stall."""
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            result["platform"] = jax.default_backend()
+            result["ok"] = float(jnp.arange(8.0).sum()) == 28.0
+        except Exception as e:  # backend init failure
+            result["err"] = f"{type(e).__name__}: {str(e)[:300]}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(
+            f"bench canary: device probe still hanging after {timeout_s:.0f}s "
+            "— the accelerator relay looks wedged; aborting before the heavy "
+            "sections (rerun once the relay recovers, typically 10-40 min).",
+            file=sys.stderr, flush=True,
+        )
+        raise SystemExit(1)
+    if "err" in result:
+        print(f"bench canary: backend init failed — {result['err']}",
+              file=sys.stderr, flush=True)
+        raise SystemExit(1)
+    print(f"bench canary ok: platform={result.get('platform')}",
+          file=sys.stderr, flush=True)
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache next to the repo: the 1M-tet
+    Mosaic monoliths cost ~10 min of one-time compile per shape — cached,
+    the driver's snapshot bench re-runs them in seconds (best-effort)."""
+    import os
+
+    import jax
+
+    try:
+        cache = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    except Exception as e:
+        print(f"compile cache unavailable ({e}); continuing without",
+              file=sys.stderr, flush=True)
+
+
 def _make_runner(step, arr, params, controls, frames):
     import jax
 
@@ -166,6 +227,56 @@ def _bench_scale_1m():
     return per_substep
 
 
+def _bench_scale_1m_nh():
+    """Flagship scale metric (VERDICT r3 item 2): the 1,053,696-tet grid
+    through the fused Neo-Hookean 48-color GS stencil kernel
+    (kernels/nh_stencil.py, packed state) — the reference-fidelity physics
+    at its fastest form (0.168 ms/substep measured in round 3, BENCHNOTES).
+    Returns ms/substep or None."""
+    import jax
+    import tetsim_tpu as ts
+    from tetsim_tpu.solvers.neohookean_grid import build_nh_grid_arrays
+    from tetsim_tpu.kernels.nh_stencil import make_frame_stepper
+
+    n = 56
+    mesh = ts.grid_mesh(n, n, n, cell=0.02, origin=(-0.56, 0.5, -0.56))
+    arr = build_nh_grid_arrays(mesh, (n, n, n))
+    params = ts.PhysicsParams(num_substeps=1)
+    controls = ts.Controls.none()
+    pack, step, unpack, _ = make_frame_stepper(arr, interpret=False)
+    packed0 = pack(ts.init_state(mesh), params)
+
+    def runner(frames):
+        @jax.jit
+        def run(st):
+            def body(s, _):
+                return step(s, params, controls), None
+
+            s, _ = jax.lax.scan(body, st, None, length=frames)
+            return s
+
+        return run
+
+    k1, k2 = 50, 400
+    run1, run2 = runner(k1), runner(k2)
+
+    def timed(run, reps=2):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            chk = float(jax.tree.leaves(run(packed0))[0].sum())
+            best = min(best, time.perf_counter() - t0)
+        assert np.isfinite(chk)
+        return best
+
+    timed(run1, reps=1)
+    timed(run2, reps=1)
+    per_substep = (timed(run2, 3) - timed(run1, 3)) / (k2 - k1)
+    print(f"scale-nh: 1M-tet NH stencil {per_substep*1e3:.3f} ms/substep",
+          file=sys.stderr, flush=True)
+    return per_substep
+
+
 def _bench_ordered(mesh, params):
     """Exact-order fused GS (kernels/gs_ordered.py): the BASELINE config-1
     trajectory-matching path at its measured serial floor (703 sequential
@@ -195,6 +306,8 @@ def _bench_ordered(mesh, params):
 
 
 def main():
+    _enable_compile_cache()
+    _device_canary()
     import tetsim_tpu as ts
 
     mesh = ts.load_dragon()
@@ -207,6 +320,12 @@ def main():
               "falling back to XLA engine", file=sys.stderr, flush=True)
         per_frame = _bench_classic(mesh, params)
         path = "classic"
+    try:
+        scale_nh_ms = _bench_scale_1m_nh()
+    except Exception as e:
+        print(f"1M-tet NH stencil bench unavailable ({type(e).__name__}: "
+              f"{str(e)[:120]})", file=sys.stderr, flush=True)
+        scale_nh_ms = None
     try:
         scale_ms = _bench_scale_1m()
     except Exception as e:
@@ -235,6 +354,10 @@ def main():
         out["aggregate_body_substeps_per_sec"] = round(
             substeps_per_sec * FUSED_BODIES, 1
         )
+    if scale_nh_ms is not None:
+        # flagship: reference-fidelity NH GS at 1M tets (fastest path)
+        out["scale_1m_nh_ms_per_substep"] = round(scale_nh_ms * 1e3, 3)
+        out["scale_1m_nh_hz_single_chip"] = round(1.0 / scale_nh_ms, 1)
     if scale_ms is not None:
         # north-star workload (BASELINE.md: 1M tets >60 Hz on v5e-8)
         out["scale_1m_tets_ms_per_substep"] = round(scale_ms * 1e3, 3)

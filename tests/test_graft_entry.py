@@ -35,25 +35,67 @@ def test_dryrun_smoke():
     ge.dryrun_multichip(8)
 
 
-def test_needs_rebind_logic():
-    class FakeJaxTPU:
-        @staticmethod
-        def default_backend():
-            return "tpu"
+_TRAP_SCRIPT = r"""
+import os, sys
 
-    class FakeJaxCPU:
-        @staticmethod
-        def default_backend():
-            return "cpu"
+# Hostile driver process: no env rescue, an accelerator-style plugin
+# registered whose *initialization* is booby-trapped, and the plugin's
+# sitecustomize-style config write making it the preferred platform.
+# This is MULTICHIP_r03's exact failure shape: any backend/device query
+# before the config-first rebind initializes every registered plugin.
+os.environ.pop("JAX_PLATFORMS", None)
 
-    class FakeJaxBroken:
-        @staticmethod
-        def default_backend():
-            raise RuntimeError("backend init failed")
+import jax
+from jax._src import xla_bridge as xb
 
-    assert ge._needs_rebind(FakeJaxTPU())
-    assert not ge._needs_rebind(FakeJaxCPU())
-    assert ge._needs_rebind(FakeJaxBroken())
+def _trap_factory(*a, **k):
+    raise RuntimeError("BOOBYTRAP: non-CPU plugin initialized")
+
+xb.register_backend_factory(
+    "boobytrap", _trap_factory, priority=500, fail_quietly=False
+)
+jax.config.update("jax_platforms", "boobytrap,cpu")
+
+sys.path.insert(0, sys.argv[1])
+import __graft_entry__ as ge
+
+# 1. bootstrap alone must never touch the trap
+devs, restore = ge._bootstrap_cpu_devices(8)
+assert len(devs) == 8 and all(d.platform == "cpu" for d in devs), devs
+if restore is not None:
+    restore()
+assert jax.config.jax_platforms == "boobytrap,cpu"
+
+# 2. the full gate call, end to end (includes its own bootstrap+restore)
+ge.dryrun_multichip(8)
+assert jax.config.jax_platforms == "boobytrap,cpu"
+print("TRAP-OK")
+"""
+
+
+def test_bootstrap_never_inits_foreign_plugin(tmp_path):
+    """r03 regression: a registered non-CPU plugin whose init raises must
+    never be touched by the bootstrap or the dryrun — the rebind has to be
+    config-first, with zero backend/device queries before it.  Runs in a
+    subprocess because plugin registration and backend binding are
+    process-global."""
+    import os
+    import subprocess
+
+    script = tmp_path / "trap.py"
+    script.write_text(_TRAP_SCRIPT)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    repo = str(Path(__file__).resolve().parents[1])
+    proc = subprocess.run(
+        [sys.executable, str(script), repo],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert proc.returncode == 0, (
+        f"trap subprocess failed\nstdout:\n{proc.stdout}\n"
+        f"stderr:\n{proc.stderr[-4000:]}"
+    )
+    assert "TRAP-OK" in proc.stdout
 
 
 def test_entry_compiles_and_runs():

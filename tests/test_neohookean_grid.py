@@ -104,3 +104,39 @@ def test_block_roundtrip():
     assert np.array_equal(back, x)
     np_blocks = nhg._to_blocks_np(x, dims)
     assert np.array_equal(np.asarray(blocks), np_blocks)
+
+
+def test_color_scan_matches_unrolled():
+    """The table-driven lax.scan sweep (_gs_sweep_scan) reproduces the
+    unrolled 48-color sweep bit-exactly: identical arithmetic in identical
+    order, with the per-color constants moved from the trace into scanned
+    tables (the compile-time lever the multi-chip dryrun rides)."""
+    dims = (4, 3, 2)
+    mesh = ts.grid_mesh(*dims, cell=0.25, origin=(-0.3, 0.6, -0.3))
+    arr = nhg.build_nh_grid_arrays(mesh, dims)
+    params = ts.default_cpu_params()
+    controls = ts.Controls.none().replace(
+        grab_id=np.int32(3),
+        grab_pos=np.array([0.2, 1.0, 0.2], np.float32),
+    )
+    o0 = {"xla_backend_optimization_level": "0"}
+    su = _drop_state(mesh, vel_seed=3)
+    ss = su
+    step_u = (
+        jax.jit(nhg.step_frame)
+        .lower(su, arr, params, controls)
+        .compile(o0)
+    )
+    step_s = (
+        jax.jit(lambda s, a, p, c: nhg.step_frame(s, a, p, c,
+                                                  color_scan=True))
+        .lower(ss, arr, params, controls)
+        .compile(o0)
+    )
+    for _ in range(8):
+        su, du = step_u(su, arr, params, controls)
+        ss, ds = step_s(ss, arr, params, controls)
+    err = float(np.abs(np.asarray(su.pos) - np.asarray(ss.pos)).max())
+    assert err == 0.0, f"color_scan vs unrolled drift {err}"
+    derr = float(np.abs(np.asarray(du) - np.asarray(ds)).max())
+    assert derr == 0.0, f"color_scan diag drift {derr}"

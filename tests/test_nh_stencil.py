@@ -225,3 +225,44 @@ def test_dynamic_sweep_matches_unrolled(setup):
     sd = unpack(packed, params)
     err = float(np.abs(np.asarray(su.pos) - np.asarray(sd.pos)).max())
     assert err == 0.0, f"dynamic vs unrolled sweep drift {err}"
+
+
+def test_sharded_dynamic_matches_xla_engine():
+    """make_nh_sharded_stepper(dynamic=True): the fori-table segment
+    kernels reproduce the XLA engine's trajectory (same color order, same
+    _solve_color math through _emit_sweep_dyn) — the form the multi-chip
+    dryrun runs."""
+    from jax.sharding import Mesh
+
+    d = 4
+    dims = (8, 4, 2)
+    devs = np.array(jax.devices()[:d])
+    devmesh = Mesh(devs, ("x",))
+    mesh = ts.grid_mesh(*dims, cell=0.2, origin=(-0.8, 0.6, -0.2))
+    arr = nhg.build_nh_grid_arrays(mesh, dims)
+    params = ts.default_cpu_params()
+    controls = ts.Controls.none().replace(
+        grab_id=np.int32(5),
+        grab_pos=np.array([0.3, 1.1, 0.1], np.float32),
+    )
+    state0 = _drop_state(mesh, vel_seed=7)
+
+    ref_step = (
+        jax.jit(nhg.step_frame)
+        .lower(state0, arr, params, controls)
+        .compile(_O0)
+    )
+    ref = state0
+    for _ in range(4):
+        ref, _ = ref_step(ref, arr, params, controls)
+
+    prepare, step, unprepare = nh_stencil.make_nh_sharded_stepper(
+        devmesh, arr, "x", interpret=True, compiler_options=_O0,
+        dynamic=True,
+    )
+    packed = prepare(state0, params)
+    for _ in range(4):
+        packed = step(packed, params, controls)
+    out = unprepare(packed, params)
+    err = float(np.abs(np.asarray(out.pos) - np.asarray(ref.pos)).max())
+    assert err < 2e-5, f"dynamic sharded fused vs XLA drift {err}"

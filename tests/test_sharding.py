@@ -156,3 +156,46 @@ def test_nh_slab_geometry_validation():
     devs4 = np.array(jax.devices()[:4])
     with pytest.raises(ValueError, match="divide"):
         nhg.make_nh_sharded_step(Mesh(devs4, ("x",)), arr, "x")
+
+
+def test_nh_grid_slab_sharded_color_scan_matches_unsharded():
+    """make_nh_sharded_step(color_scan=True): the per-px-run scan form of
+    the sweep under the slab decomposition still reproduces the unsharded
+    unrolled trajectory exactly (tables change the code shape, not the
+    arithmetic; exchanges fire at the same px transitions)."""
+    from tetsim_tpu.solvers import neohookean_grid as nhg
+
+    d = 4
+    devs = np.array(jax.devices()[:d])
+    mesh = Mesh(devs, ("x",))
+    dims = (8, 4, 4)
+    gm = ts.grid_mesh(*dims, cell=0.15, origin=(-0.6, 0.5, -0.3))
+    arr = nhg.build_nh_grid_arrays(gm, dims)
+    params = ts.default_cpu_params()
+    controls = ts.Controls.none().replace(
+        grab_id=np.int32(3),
+        grab_pos=np.array([0.2, 1.0, 0.2], np.float32),
+    )
+    state0 = ts.init_state(gm)
+    rng = np.random.default_rng(3)
+    state0 = state0.replace(
+        vel=rng.uniform(-0.4, 0.4, state0.vel.shape).astype(np.float32)
+    )
+    o0 = {"xla_backend_optimization_level": "0"}
+    step = (
+        jax.jit(nhg.step_frame)
+        .lower(state0, arr, params, controls)
+        .compile(o0)
+    )
+    ref = state0
+    for _ in range(6):
+        ref, _ = step(ref, arr, params, controls)
+
+    sharded = nhg.make_nh_sharded_step(mesh, arr, "x", compiler_options=o0,
+                                       color_scan=True)
+    slab = nhg.nh_prepare(state0, arr, d)
+    for _ in range(6):
+        slab, _ = sharded(slab, params, controls)
+    out = nhg.nh_unprepare(slab, arr, d, params)
+    err = float(np.abs(np.asarray(out.pos) - np.asarray(ref.pos)).max())
+    assert err < 2e-5, f"color_scan slab-sharded vs unsharded drift {err}"

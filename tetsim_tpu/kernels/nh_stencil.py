@@ -198,27 +198,31 @@ def _shift_accum_dyn(ref, b, val, o, rbc, roll):
     )[None]
 
 
-def _emit_sweep_dyn(plan_len, geom, pos_refs, imc_ref, btab_ref, otab_ref,
+def _emit_sweep_dyn(groups, geom, pos_refs, imc_ref, btab_ref, otab_ref,
                     cwtab_ref, inv_rest_pose, inv_rest_volume, dt, dev_c,
                     vol_c, roll):
-    """The colored GS sweep as 6 fori_loops over parity colors.
+    """The colored GS sweep as fori_loops over parity colors.
 
     The unrolled _emit_sweep traces 48 colors x ~30 stencil ops — minutes
     of Mosaic/LLVM compile.  Since the 8 parity colors of a type run the
     SAME arithmetic with different (block id, lane offset, window) CONSTANTS,
     they fold into one fori_loop iteration reading those constants from
-    SMEM tables: 6 traced color bodies instead of 48 (~8x less code).
-    Dynamic machinery: pl.ds with traced starts + pltpu.roll with traced
-    shift.  inv_rest_pose stays a per-type compile-time constant (the
-    outer type loop remains unrolled)."""
+    SMEM tables: one traced color body per group instead of `count`
+    (~8x less code for the monolith's 6x8 plan, 4x for a sharded
+    segment's 1x4).  Dynamic machinery: pl.ds with traced starts +
+    pltpu.roll with traced shift.  inv_rest_pose stays a per-type
+    compile-time constant (the group loop remains unrolled).
+
+    groups: [(kuhn_type, table_base_row, color_count)] — the monolith
+    passes [(t, 8*t, 8) for t in range(6)]; a sharded (t, px) segment
+    passes [(t, 0, 4)]."""
     rbc = geom.rbc
     ox_ref, oy_ref, oz_ref = pos_refs
     ax, ay, az = _lane_coords(geom)
-    per_t = plan_len // 6
 
-    for t in range(6):
-        def body(pi, _, t=t):
-            ci = t * per_t + pi
+    for t, base, count in groups:
+        def body(pi, _, t=t, base=base):
+            ci = base + pi
             cw = [cwtab_ref[ci, i] for i in range(3)]
             ok = (ax < cw[0]) & (ay < cw[1]) & (az < cw[2])
             mask = jnp.where(ok, 1.0, 0.0).astype(jnp.float32)
@@ -254,7 +258,7 @@ def _emit_sweep_dyn(plan_len, geom, pos_refs, imc_ref, btab_ref, otab_ref,
                 )
             return 0
 
-        jax.lax.fori_loop(0, per_t, body, 0)
+        jax.lax.fori_loop(0, count, body, 0)
 
 
 def _make_kernel(geom: _NHGeometry, plan, inv_rest_pose, inv_rest_volume,
@@ -316,7 +320,9 @@ def _make_kernel(geom: _NHGeometry, plan, inv_rest_pose, inv_rest_volume,
 
         # ---- the 48-color GS sweep (same order as the XLA engine) --------
         if dynamic:
-            _emit_sweep_dyn(len(plan), geom, (ox_ref, oy_ref, oz_ref),
+            per_t = len(plan) // 6
+            _emit_sweep_dyn([(t, t * per_t, per_t) for t in range(6)],
+                            geom, (ox_ref, oy_ref, oz_ref),
                             imc_ref, btab_ref, otab_ref, cwtab_ref,
                             inv_rest_pose, inv_rest_volume, dt, dev_c,
                             vol_c, roll)
@@ -583,9 +589,15 @@ def substep(state, arr, params, dt, controls, axis_name=None,
 
 @functools.lru_cache(maxsize=256)
 def _build_seg_call(dims, corner_slab, inv_rest_pose, inv_rest_volume,
-                    seg: int, interpret: bool):
+                    seg: int, interpret: bool, dynamic: bool = False):
     """pallas_call for color group ``seg`` (4 colors = one (t, px) pair):
-    (par, imc, X, Y, Z) -> (X, Y, Z), positions aliased in/out."""
+    (par, imc, X, Y, Z) -> (X, Y, Z), positions aliased in/out.
+
+    dynamic: fold the segment's 4 parity colors into one fori_loop body
+    reading (block, offset, window) from SMEM tables (_emit_sweep_dyn) —
+    ~4x less traced/compiled code per segment, same trajectory.  The
+    returned callable keeps the (par, imc, X, Y, Z) signature either way
+    (tables are closed over)."""
 
     class _Arr:
         pass
@@ -595,11 +607,16 @@ def _build_seg_call(dims, corner_slab, inv_rest_pose, inv_rest_volume,
     arr.corner_slab = corner_slab
     geom = _NHGeometry(dims)
     plan = _color_plan(arr)[4 * seg : 4 * seg + 4]
+    t_seg = plan[0][0]
     roll = _roll_fn(interpret)
     rows = geom.rows
+    n_tab = 3 if dynamic else 0
 
-    def kernel(par_ref, imc_ref, x_ref, y_ref, z_ref,
-               ox_ref, oy_ref, oz_ref):
+    def kernel(par_ref, *rest):
+        if dynamic:
+            btab_ref, otab_ref, cwtab_ref = rest[:3]
+            rest = rest[3:]
+        imc_ref, x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref = rest
         dt = par_ref[0, 0]
         dev_c = par_ref[0, 3]
         vol_c = par_ref[0, 4]
@@ -610,25 +627,41 @@ def _build_seg_call(dims, corner_slab, inv_rest_pose, inv_rest_volume,
                 ox_ref[sl] = x_ref[sl]
                 oy_ref[sl] = y_ref[sl]
                 oz_ref[sl] = z_ref[sl]
-        _emit_sweep(plan, geom, (ox_ref, oy_ref, oz_ref), imc_ref,
-                    inv_rest_pose, inv_rest_volume, dt, dev_c, vol_c, roll)
+        if dynamic:
+            _emit_sweep_dyn([(t_seg, 0, len(plan))], geom,
+                            (ox_ref, oy_ref, oz_ref), imc_ref,
+                            btab_ref, otab_ref, cwtab_ref,
+                            inv_rest_pose, inv_rest_volume, dt, dev_c,
+                            vol_c, roll)
+        else:
+            _emit_sweep(plan, geom, (ox_ref, oy_ref, oz_ref), imc_ref,
+                        inv_rest_pose, inv_rest_volume, dt, dev_c, vol_c,
+                        roll)
 
     full = pl.BlockSpec(
         (8, rows, _LANES), lambda: (0, 0, 0), memory_space=pltpu.VMEM
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     plane = jax.ShapeDtypeStruct((8, rows, _LANES), jnp.float32)
-    return geom, pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         out_shape=[plane] * 3,
-        in_specs=[smem] + [full] * 4,
+        in_specs=[smem] * (1 + n_tab) + [full] * 4,
         out_specs=[full] * 3,
-        input_output_aliases={2: 0, 3: 1, 4: 2},
+        input_output_aliases={2 + n_tab: 0, 3 + n_tab: 1, 4 + n_tab: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_budget_bytes()[1],
         ),
         interpret=interpret,
     )
+    if not dynamic:
+        return geom, call
+    btab, otab, cwtab = (jnp.asarray(a) for a in _plan_tables(plan))
+
+    def call_dyn(par, imc, X, Y, Z):
+        return call(par, btab, otab, cwtab, imc, X, Y, Z)
+
+    return geom, call_dyn
 
 
 def _plane_pid(geom: _NHGeometry, dims):
@@ -658,7 +691,8 @@ def _plane_pid(geom: _NHGeometry, dims):
 
 def make_nh_sharded_stepper(mesh, arr: NHGridArrays, axis: str = "x",
                             interpret: bool | None = None,
-                            compiler_options=None):
+                            compiler_options=None,
+                            dynamic: bool = False):
     """(prepare, step, unprepare) for the fused NH kernel sharded over
     ``mesh``'s ``axis`` in cube-column slabs.
 
@@ -690,8 +724,9 @@ def make_nh_sharded_stepper(mesh, arr: NHGridArrays, axis: str = "x",
 
     static = (local_dims, arr.corner_slab, arr.inv_rest_pose,
               arr.inv_rest_volume)
-    geom_l, _ = _build_seg_call(*static, 0, interpret)
-    segs = [_build_seg_call(*static, s, interpret)[1] for s in range(12)]
+    geom_l, _ = _build_seg_call(*static, 0, interpret, dynamic)
+    segs = [_build_seg_call(*static, s, interpret, dynamic)[1]
+            for s in range(12)]
     rows_l = geom_l.rows
     n_flat = geom_l.n_flat
 

@@ -368,7 +368,7 @@ def _solve_color(p, imc, ir, irv, dt, dev_compliance, vol_compliance):
 
 
 def _gs_sweep(X, Y, Z, arr: NHGridArrays, dt, params: PhysicsParams,
-              exchange=None):
+              exchange=None, color_scan=False):
     """The 48-color Gauss-Seidel sweep over parity-block state.
 
     Sequential over colors (each color reads the positions updated by all
@@ -381,7 +381,19 @@ def _gs_sweep(X, Y, Z, arr: NHGridArrays, dt, params: PhysicsParams,
     shared vertex plane only on the RIGHT slab, a px=1 color only on the
     LEFT — so refreshing the stale copy exactly at px flips (12 one-plane
     sends per substep) reproduces the global Gauss-Seidel trajectory
-    exactly; no other cross-slab dependency exists within a px group."""
+    exactly; no other cross-slab dependency exists within a px group.
+
+    ``color_scan=True`` emits the sweep as lax.scan over table-driven
+    colors (one scan per exchange-free px run) instead of 48 unrolled
+    bodies: the per-color constants (corner block/offset, cube window,
+    rest pose) become scanned i32/f32 rows, slices become dynamic slices.
+    SAME arithmetic in the same order — trajectory is bit-identical
+    (tests/test_neohookean_grid.py) — but ~48x less traced/compiled code
+    (the 1M-config compile drops minutes; the multi-chip dryrun needs it
+    to fit the driver's budget).  Runtime default stays unrolled: static
+    slices fuse better on TPU."""
+    if color_scan:
+        return _gs_sweep_scan(X, Y, Z, arr, dt, params, exchange)
     (hx, hy, hz), lh, _ = _geometry(arr.dims)
     vol_err = jnp.float32(0.0)
     last_px = None
@@ -409,6 +421,82 @@ def _gs_sweep(X, Y, Z, arr: NHGridArrays, dt, params: PhysicsParams,
         # refresh the right copies so collide/velocity/predict stay
         # replica-consistent into the next substep
         X, Y, Z = exchange(X, Y, Z, 0)
+    return X, Y, Z, vol_err
+
+
+def _gs_sweep_scan(X, Y, Z, arr: NHGridArrays, dt, params: PhysicsParams,
+                   exchange=None):
+    """Table-driven lax.scan form of _gs_sweep (see its docstring)."""
+    (hx, hy, hz), lh, _ = _geometry(arr.dims)
+    plan = _color_plan(arr)
+
+    def tables(colors):
+        b = np.array([[c[0] for c in corners]
+                      for _, _, corners, _ in colors], np.int32)
+        o = np.array([[c[1] for c in corners]
+                      for _, _, corners, _ in colors], np.int32)
+        cw = np.array([list(cw) for _, _, _, cw in colors], np.int32)
+        ir = np.array([arr.inv_rest_pose[t] for t, _, _, _ in colors],
+                      np.float32)
+        return (jnp.asarray(b), jnp.asarray(o), jnp.asarray(cw),
+                jnp.asarray(ir))
+
+    imb = arr.inv_mass_blocks
+
+    def body(carry, tab):
+        X, Y, Z, ve = carry
+        bt, ot, cwt, irt = tab
+        mask = _cube_mask((cwt[0], cwt[1], cwt[2]), arr.dims)
+
+        def dsl(comp, k):
+            return jax.lax.dynamic_slice(comp, (bt[k], ot[k]), (1, lh))[0]
+
+        pc = [[dsl(comp, k) for comp in (X, Y, Z)] for k in range(4)]
+        imc = [dsl(imb, k) for k in range(4)]
+        ir = [[irt[i, c] for c in range(3)] for i in range(3)]
+        newp, verr = _solve_color(
+            pc, imc, ir, arr.inv_rest_volume, dt,
+            params.dev_compliance, params.vol_compliance,
+        )
+        for k in range(4):
+            for ci, comp in enumerate((X, Y, Z)):
+                d = (newp[k][ci] - pc[k][ci]) * mask
+                cur = dsl(comp, k)
+                comp = jax.lax.dynamic_update_slice(
+                    comp, (cur + d)[None], (bt[k], ot[k])
+                )
+                if ci == 0:
+                    X = comp
+                elif ci == 1:
+                    Y = comp
+                else:
+                    Z = comp
+        return (X, Y, Z, ve + jnp.sum(verr * mask)), None
+
+    vol_err = jnp.float32(0.0)
+    if exchange is None:
+        (X, Y, Z, vol_err), _ = jax.lax.scan(
+            body, (X, Y, Z, vol_err), tables(plan)
+        )
+        return X, Y, Z, vol_err
+
+    # sharded: one scan per exchange-free px run (12 runs of 4 colors)
+    runs = []
+    for color in plan:
+        px = color[1][0]
+        if runs and runs[-1][0] == px:
+            runs[-1][1].append(color)
+        else:
+            runs.append((px, [color]))
+    last_px = None
+    for px, colors in runs:
+        if last_px is not None and px != last_px:
+            X, Y, Z = exchange(X, Y, Z, px)
+        last_px = px
+        (X, Y, Z, vol_err), _ = jax.lax.scan(
+            body, (X, Y, Z, vol_err), tables(colors)
+        )
+    X, Y, Z = exchange(X, Y, Z, 0)
     return X, Y, Z, vol_err
 
 
@@ -447,7 +535,7 @@ def collide_grab_phase(X, Y, Z, PX, PY, PZ, pid, params, dt,
 
 
 def _substep_blocks(carry, arr: NHGridArrays, params, dt, controls: Controls,
-                    exchange=None, x_offset=None):
+                    exchange=None, x_offset=None, color_scan=False):
     X, Y, Z, VX, VY, VZ = carry
     PX, PY, PZ = X, Y, Z
     X, Y, Z, VX, VY, VZ = predict_phase(
@@ -455,7 +543,7 @@ def _substep_blocks(carry, arr: NHGridArrays, params, dt, controls: Controls,
     )
 
     X, Y, Z, vol_err = _gs_sweep(X, Y, Z, arr, dt, params,
-                                 exchange=exchange)
+                                 exchange=exchange, color_scan=color_scan)
 
     gid = controls.grab_id
     if gid.ndim != 0:
@@ -508,11 +596,13 @@ def _carry_state(carry, prev, state: SimState, arr: NHGridArrays):
     )
 
 
-def substep(state, arr: NHGridArrays, params, dt, controls, axis_name=None):
+def substep(state, arr: NHGridArrays, params, dt, controls, axis_name=None,
+            color_scan=False):
     """Single-substep entry matching the engine API (used by tests)."""
     del axis_name
     carry = _to_carry(state, arr)
-    carry, (prev, diag) = _substep_blocks(carry, arr, params, dt, controls)
+    carry, (prev, diag) = _substep_blocks(carry, arr, params, dt, controls,
+                                          color_scan=color_scan)
     return _carry_state(carry, prev, state, arr), diag
 
 
@@ -522,15 +612,20 @@ def step_frame(
     params: PhysicsParams,
     controls: Controls,
     axis_name=None,
+    color_scan=False,
 ):
-    """One frame = params.num_substeps stencil-GS substeps in one trace."""
+    """One frame = params.num_substeps stencil-GS substeps in one trace.
+
+    color_scan: emit the 48-color sweep as a table-driven lax.scan — same
+    trajectory, ~48x less traced code (see _gs_sweep)."""
     del axis_name
     dt = params.dt
     carry0 = _to_carry(state, arr)
 
     def body(carry_prev, _):
         carry, _ = carry_prev
-        carry, (prev, diag) = _substep_blocks(carry, arr, params, dt, controls)
+        carry, (prev, diag) = _substep_blocks(carry, arr, params, dt, controls,
+                                              color_scan=color_scan)
         return (carry, prev), diag
 
     (carry, prev), diags = jax.lax.scan(
@@ -626,7 +721,7 @@ def nh_unprepare(slab, arr: NHGridArrays, d: int,
 
 
 def make_nh_sharded_step(mesh, arr: NHGridArrays, axis: str = "x",
-                         compiler_options=None):
+                         compiler_options=None, color_scan=False):
     """Build a jitted sharded frame step over `mesh`'s `axis`:
     (slab_state, params, controls) -> (slab_state, diags).
 
@@ -637,7 +732,11 @@ def make_nh_sharded_step(mesh, arr: NHGridArrays, axis: str = "x",
     compiler_options: optional dict forwarded to XLA at compile time (the
     hermetic suite passes {"xla_backend_optimization_level": "0"} — the
     48-color graph costs minutes of LLVM opt on CPU that tiny test shapes
-    never pay back)."""
+    never pay back).
+
+    color_scan: emit each exchange-free px run as one table-driven
+    lax.scan body instead of 4 unrolled colors — same trajectory, ~4x
+    less traced code (see _gs_sweep; the multi-chip dryrun uses it)."""
     from jax.sharding import PartitionSpec as P
 
     d = mesh.shape[axis]
@@ -707,7 +806,7 @@ def make_nh_sharded_step(mesh, arr: NHGridArrays, axis: str = "x",
         def body(carry, _):
             carry, (_, diag) = _substep_blocks(
                 carry, arr_l, params, dt, controls,
-                exchange=exchange, x_offset=x_offset,
+                exchange=exchange, x_offset=x_offset, color_scan=color_scan,
             )
             return carry, diag
 
