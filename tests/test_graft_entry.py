@@ -16,6 +16,7 @@ from pathlib import Path
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -31,6 +32,7 @@ def test_dryrun_with_hostile_default_device():
         ge.dryrun_multichip(8)
 
 
+@pytest.mark.quick
 def test_dryrun_smoke():
     ge.dryrun_multichip(8)
 

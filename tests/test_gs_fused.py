@@ -30,6 +30,7 @@ def _xla_run(mesh, params, frames, grab=None):
     return np.asarray(state.pos), np.asarray(state.vel)
 
 
+@pytest.mark.quick
 def test_fused_matches_xla(small):
     params = ts.PhysicsParams(num_substeps=2)
     ref_pos, ref_vel = _xla_run(small, params, frames=3)

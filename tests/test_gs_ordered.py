@@ -54,6 +54,7 @@ def test_schedule_preserves_order(small):
             seen_level = lvl
 
 
+@pytest.mark.quick
 def test_matches_golden_oracle(small):
     """THE exactness property: fused ordered kernel == sequential NumPy
     reference to f32 rounding (same bar as the XLA ordered engine)."""

@@ -38,6 +38,7 @@ def test_parity_dragon_one_frame(dragon):
     np.testing.assert_allclose(volerr[-1], g.vol_error, atol=1e-4)
 
 
+@pytest.mark.quick
 def test_parity_small_mesh_many_steps(small_mesh):
     params = ts.PhysicsParams(num_substeps=5)
     state, _ = run_jax(small_mesh, frames=12, params=params)

@@ -28,6 +28,7 @@ def _drop_state(mesh, vel_seed=0):
     return state.replace(vel=vel)
 
 
+@pytest.mark.quick
 def test_matches_generic_engine_same_coloring(grid_setup):
     dims, mesh, arr_g, arr_s = grid_setup
     params = ts.default_cpu_params()

@@ -58,6 +58,7 @@ def _drop_state(mesh, vel_seed=0):
     return state.replace(vel=vel)
 
 
+@pytest.mark.quick
 def test_matches_xla_stencil_engine(setup):
     mesh, arr, params, fused, xla = setup
     controls = ts.Controls.none()

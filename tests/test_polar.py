@@ -36,6 +36,7 @@ def test_settles_on_floor(small_mesh):
     assert np.abs(np.asarray(state.vel)).max() < 2.0
 
 
+@pytest.mark.quick
 def test_shape_preserved(small_mesh):
     """Shape matching is rigid-ish: edge lengths after settling stay within a
     moderate band of rest lengths."""

@@ -28,6 +28,7 @@ def _xla_run(mesh, params, controls, frames):
     return s
 
 
+@pytest.mark.quick
 def test_parity_with_xla_polar(mesh):
     params = ts.PhysicsParams(num_substeps=5)
     body = FusedPolarBody(mesh, num_bodies=8, interpret=True)

@@ -30,6 +30,7 @@ def _run(step, state, arr, params, controls, frames):
     return state
 
 
+@pytest.mark.quick
 def test_parity_with_generic_polar(grid_setup):
     mesh, arr_ref, garr = grid_setup
     params = ts.PhysicsParams(num_substeps=4)

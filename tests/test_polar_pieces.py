@@ -59,6 +59,7 @@ def test_partition_covers_mesh(blob, blob_arr):
     )
 
 
+@pytest.mark.quick
 def test_parity_with_xla_polar(blob, blob_arr):
     params = ts.PhysicsParams(num_substeps=5)
     controls = ts.Controls.none()

@@ -39,6 +39,7 @@ def test_engine_registered():
     assert hasattr(eng, "step_frame") and hasattr(eng, "substep")
 
 
+@pytest.mark.quick
 def test_parity_with_xla_stencil(grid_setup):
     mesh, garr = grid_setup
     params = ts.PhysicsParams(num_substeps=4)

@@ -1,4 +1,6 @@
 """World/Body API, skinning, grab round-trip, diagnostics, checkpoint."""
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -274,3 +276,74 @@ def test_world_polar_pieces_body():
     d = w.diagnostics()["body0"]
     assert np.isfinite(b.state.pos).all() and not d["nan"]
     assert "kinetic_energy" in d and "volume_error" not in d
+
+
+def test_grid_body_batch_per_body_grabs():
+    """VERDICT r3 item 4: a batched grid scene must reproduce the
+    reference's one-grabber-per-body interactivity (main.js:56-65).  Two
+    different bodies of a 3-box polar_grid batch are grabbed at once; each
+    grabbed particle pins to its own target while the third body falls."""
+    world = ts.World(ts.PhysicsParams(num_substeps=2))
+    batch = world.add_grid_body_batch((2, 2, 2), 3, cell=0.25,
+                                      engine="polar_grid")
+    t0 = np.array([0.1, 1.4, 0.1], np.float32)
+    t2 = np.array([1.6, 1.5, 0.2], np.float32)
+    p0 = batch.start_grab(0, [0.0, 1.0, 0.0])
+    p2 = batch.start_grab(2, [1.5, 1.0, 0.0])
+    batch.move_grabbed(0, t0)
+    batch.move_grabbed(2, t2)
+    for _ in range(5):
+        world.step()
+    pos = batch.positions
+    np.testing.assert_allclose(pos[0, p0], t0, atol=1e-6)
+    np.testing.assert_allclose(pos[2, p2], t2, atol=1e-6)
+    # ungrabbed body keeps falling: every particle below its grab-free drop
+    assert pos[1][:, 1].max() < 1.2
+    assert np.isfinite(pos).all()
+    # releasing one grab frees that body only
+    batch.end_grab(0)
+    for _ in range(3):
+        world.step()
+    pos = batch.positions
+    assert not np.allclose(pos[0, p0], t0, atol=1e-4)
+    np.testing.assert_allclose(pos[2, p2], t2, atol=1e-6)
+
+
+def test_grid_body_batch_neohookean_color_scan():
+    """Same per-body grabs through the vmapped 48-color NH stencil engine
+    (color_scan keeps the vmapped compile tractable on CPU)."""
+    world = ts.World(ts.PhysicsParams(num_substeps=2))
+    batch = world.add_grid_body_batch((2, 2, 2), 2, cell=0.25,
+                                      engine="neohookean_grid",
+                                      color_scan=True)
+    t1 = np.array([0.9, 1.3, 0.1], np.float32)
+    p1 = batch.start_grab(1, [0.8, 1.0, 0.0])
+    batch.move_grabbed(1, t1)
+    for _ in range(4):
+        world.step()
+    pos = batch.positions
+    np.testing.assert_allclose(pos[1, p1], t1, atol=1e-6)
+    assert pos[0][:, 1].max() < 1.2
+    assert np.isfinite(pos).all()
+
+
+def test_multi_grab_single_grid_body():
+    """The stencil engines accept the vector multi-slot grab form directly
+    (common.norm_grabs): two simultaneous grabs on ONE body both pin."""
+    from tetsim_tpu.solvers import polar_grid as pg
+
+    dims = (3, 2, 2)
+    mesh = ts.grid_mesh(*dims, cell=0.25, origin=(0.0, 0.6, 0.0))
+    arr = pg.build_grid_arrays(mesh, dims)
+    params = ts.PhysicsParams(num_substeps=2)
+    ids = np.array([0, mesh.num_particles - 1], np.int32)
+    targets = np.array([[0.0, 1.2, 0.0], [0.8, 1.3, 0.5]], np.float32)
+    controls = ts.Controls(grab_id=jnp.asarray(ids),
+                           grab_pos=jnp.asarray(targets))
+    state = ts.init_state(mesh)
+    step = jax.jit(pg.step_frame)
+    for _ in range(4):
+        state, _ = step(state, arr, params, controls)
+    pos = np.asarray(state.pos)
+    np.testing.assert_allclose(pos[ids[0]], targets[0], atol=1e-6)
+    np.testing.assert_allclose(pos[ids[1]], targets[1], atol=1e-6)

@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..params import PhysicsParams
 from ..state import SimState, Controls
 from .schedule import vmem_budget_bytes
+from ..solvers.common import norm_grabs
 from ..solvers.neohookean_grid import (
     NHGridArrays,
     _color_plan,
@@ -262,7 +263,7 @@ def _emit_sweep_dyn(groups, geom, pos_refs, imc_ref, btab_ref, otab_ref,
 
 
 def _make_kernel(geom: _NHGeometry, plan, inv_rest_pose, inv_rest_volume,
-                 interpret, dynamic=False):
+                 interpret, dynamic=False, n_grabs=1):
     rows, rbc = geom.rows, geom.rbc
     dims = geom.dims
     gy, gz = dims[1] + 1, dims[2] + 1
@@ -270,8 +271,9 @@ def _make_kernel(geom: _NHGeometry, plan, inv_rest_pose, inv_rest_volume,
     roll = _roll_fn(interpret)
 
     def kernel(
-        par_ref,   # SMEM f32 [1, 15]
-        gid_ref,   # SMEM i32 [1, 1]
+        par_ref,   # SMEM f32 [1, 12]
+        gid_ref,   # SMEM i32 [1, G] grab ids (multi-slot, -1 inactive)
+        gpos_ref,  # SMEM f32 [G, 3] grab targets
         *rest,
     ):
         if dynamic:
@@ -292,8 +294,6 @@ def _make_kernel(geom: _NHGeometry, plan, inv_rest_pose, inv_rest_volume,
         vol_c = par_ref[0, 4]
         wmin = [par_ref[0, 5], par_ref[0, 6], par_ref[0, 7]]
         wmax = [par_ref[0, 8], par_ref[0, 9], par_ref[0, 10]]
-        gpos = [par_ref[0, 11], par_ref[0, 12], par_ref[0, 13]]
-        gid = gid_ref[0, 0]
 
         # ---- predict: save prev, integrate (neohookean_grid._substep_blocks)
         # Copies flow input->output refs once; every later phase reads AND
@@ -367,10 +367,11 @@ def _make_kernel(geom: _NHGeometry, plan, inv_rest_pose, inv_rest_volume,
                     & (gi < dims[0] + 1) & (gj < gy) & (gk < gz)
                 )
                 pid = jnp.where(valid, (gi * gy + gj) * gz + gk, -2)
-                hit = pid == gid
-                x = jnp.where(hit, gpos[0], x)
-                y = jnp.where(hit, gpos[1], y)
-                z = jnp.where(hit, gpos[2], z)
+                for g in range(n_grabs):
+                    hit = pid == gid_ref[0, g]
+                    x = jnp.where(hit, gpos_ref[g, 0], x)
+                    y = jnp.where(hit, gpos_ref[g, 1], y)
+                    z = jnp.where(hit, gpos_ref[g, 2], z)
                 ox_ref[sl] = x
                 oy_ref[sl] = y
                 oz_ref[sl] = z
@@ -383,7 +384,7 @@ def _make_kernel(geom: _NHGeometry, plan, inv_rest_pose, inv_rest_volume,
 
 @functools.lru_cache(maxsize=16)
 def _build_call(dims, corner_slab, inv_rest_pose, inv_rest_volume,
-                interpret: bool, dynamic: bool = False):
+                interpret: bool, dynamic: bool = False, n_grabs: int = 1):
     """Per-substep pallas_call for `dims` (cached; all args static).
 
     Returns (geom, call, tables): ``tables`` is None in unrolled mode, or
@@ -399,7 +400,7 @@ def _build_call(dims, corner_slab, inv_rest_pose, inv_rest_volume,
     geom = _NHGeometry(dims)
     plan = _color_plan(arr)
     kernel = _make_kernel(geom, plan, inv_rest_pose, inv_rest_volume,
-                          interpret, dynamic=dynamic)
+                          interpret, dynamic=dynamic, n_grabs=n_grabs)
     rows = geom.rows
 
     full = pl.BlockSpec(
@@ -408,12 +409,12 @@ def _build_call(dims, corner_slab, inv_rest_pose, inv_rest_volume,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     plane = jax.ShapeDtypeStruct((8, rows, _LANES), jnp.float32)
     n_tab = 3 if dynamic else 0
-    base = 3 + n_tab  # operand index of the first aliased plane
+    base = 4 + n_tab  # operand index of the first aliased plane
 
     call = pl.pallas_call(
         kernel,
         out_shape=[plane] * 6,
-        in_specs=[smem] * (2 + n_tab) + [full] * 7,
+        in_specs=[smem] * (3 + n_tab) + [full] * 7,
         out_specs=[full] * 6,
         # pos/vel update in place: plane inputs alias outputs 0..5
         input_output_aliases={base + i: i for i in range(6)},
@@ -429,17 +430,18 @@ def _build_call(dims, corner_slab, inv_rest_pose, inv_rest_volume,
     return geom, call, tables
 
 
-def _params_vec(params: PhysicsParams, controls: Controls):
+def _params_vec(params: PhysicsParams):
+    """Params-only SMEM row (grab slots travel separately as gid/gpos —
+    vector grabs change shape per grabber count, params do not)."""
     return jnp.stack(
         [
             params.dt, params.gravity, params.friction,
             params.dev_compliance, params.vol_compliance,
             params.world_min[0], params.world_min[1], params.world_min[2],
             params.world_max[0], params.world_max[1], params.world_max[2],
-            controls.grab_pos[0], controls.grab_pos[1], controls.grab_pos[2],
             jnp.float32(0.0),
         ]
-    ).reshape(1, 15).astype(jnp.float32)
+    ).reshape(1, 12).astype(jnp.float32)
 
 
 def _static_key(arr: NHGridArrays):
@@ -481,7 +483,10 @@ def make_frame_stepper(arr: NHGridArrays, interpret: bool | None = None,
         interpret = jax.default_backend() != "tpu"
     if dynamic is None:
         dynamic = False
-    geom, call, tables = _build_call(*_static_key(arr), interpret, dynamic)
+    # geometry/tables only; the pallas_call itself is re-resolved per step
+    # for the controls' grab-slot count (lru-cached, so repeat steps are a
+    # dict hit)
+    geom, _, tables = _build_call(*_static_key(arr), interpret, dynamic)
     tabs = (
         tuple(jnp.asarray(t) for t in tables) if tables is not None else ()
     )
@@ -498,16 +503,15 @@ def make_frame_stepper(arr: NHGridArrays, interpret: bool | None = None,
         return tuple(planes)  # (X, Y, Z, VX, VY, VZ)
 
     def step(packed, params: PhysicsParams, controls: Controls):
-        if getattr(controls.grab_id, "ndim", 0) != 0:
-            raise NotImplementedError(
-                "nh_stencil supports the scalar grab_id form; use the "
-                "generic neohookean engine for multi-body vector grabs"
-            )
-        par = _params_vec(params, controls)
-        gid = controls.grab_id.astype(jnp.int32).reshape(1, 1)
+        gid, gpos = norm_grabs(controls)  # [G], [G,3] multi-slot grabs
+        _, callg, _ = _build_call(
+            *_static_key(arr), interpret, dynamic, gid.shape[0]
+        )
+        par = _params_vec(params)
+        gid = gid.reshape(1, -1)
 
         def substep(carry, _):
-            out = call(par, gid, *tabs, imc, *carry)
+            out = callg(par, gid, gpos, *tabs, imc, *carry)
             return tuple(out), None
 
         packed, _ = jax.lax.scan(
@@ -797,7 +801,7 @@ def make_nh_sharded_stepper(mesh, arr: NHGridArrays, axis: str = "x",
         imc_l = imc_s[0]
         idx = jax.lax.axis_index(axis)
         x_offset = idx.astype(jnp.int32) * (lx * gy * gz)
-        par = _params_vec(params, controls)
+        par = _params_vec(params)
         pid = jnp.where(pid_planes >= 0, pid_planes + x_offset, pid_planes)
         dt = params.dt
 

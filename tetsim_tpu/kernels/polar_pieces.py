@@ -52,6 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..mesh import TetMesh, rest_state
 from ..params import PhysicsParams
 from ..state import SimState, Controls
+from ..solvers.common import norm_grabs
 from ..solvers.polar_grid import _extract_rotation, _qmul
 from .schedule import ta_tiled as _ta_tiled, vmem_budget_bytes
 
@@ -569,11 +570,14 @@ def _substep_local(carry, arr: PiecesArrays, params, dt, controls, call):
     lx = lx + jnp.where(below, (plx - lx) * k, 0.0)
     lz = lz + jnp.where(below, (plz - lz) * k, 0.0)
 
-    # grab override (scalar global pid; every lane of that particle pins)
-    hit = arr.pid_l == controls.grab_id
-    lx = jnp.where(hit, controls.grab_pos[0], lx)
-    ly = jnp.where(hit, controls.grab_pos[1], ly)
-    lz = jnp.where(hit, controls.grab_pos[2], lz)
+    # grab overrides (common.norm_grabs: G slots on global pid; every
+    # duplicated lane of a grabbed particle pins, keeping replicas equal)
+    gid, gpos = norm_grabs(controls)
+    for g in range(gid.shape[0]):
+        hit = arr.pid_l == gid[g]
+        lx = jnp.where(hit, gpos[g, 0], lx)
+        ly = jnp.where(hit, gpos[g, 1], ly)
+        lz = jnp.where(hit, gpos[g, 2], lz)
 
     vx, vy, vz = (lx - plx) / dt, (ly - ply) / dt, (lz - plz) / dt
     return (lx, ly, lz, vx, vy, vz, q), (plx, ply, plz)
@@ -617,11 +621,6 @@ def make_pieces_stepper(arr: PiecesArrays, interpret: bool | None = None):
         )
 
     def step(packed, params: PhysicsParams, controls: Controls):
-        if controls.grab_id.ndim != 0:
-            raise NotImplementedError(
-                "polar_pieces supports the scalar grab_id form; use the "
-                "generic polar engine for multi-body vector grabs"
-            )
         dt = params.dt
 
         def body(carry, _):

@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..params import PhysicsParams
 from ..state import SimState, Controls
 from .schedule import vmem_budget_bytes
+from ..solvers.common import norm_grabs
 from ..solvers.polar_grid import (
     GridArrays,
     _EPS,
@@ -134,11 +135,12 @@ def _shift_accum(ref, val, base, o, rb, roll):
 
 
 def _make_kernel(geom: _Geometry, corner_slab, rest_centered, interpret,
-                 epilogue: bool = True):
+                 epilogue: bool = True, n_grabs: int = 1):
     """``epilogue=False`` builds the SHARDED-path variant: it stops after
     accumulation (acc refs are outputs, not scratch) so the multi-chip
     wrapper can halo-exchange boundary accumulator planes between shards
-    before applying them (in XLA — apply/collide/grab are elementwise)."""
+    before applying them (in XLA — apply/collide/grab are elementwise).
+    ``n_grabs``: number of simultaneous grab slots (static)."""
     rb, nb, rows, offs = geom.rb, geom.nb, geom.rows, geom.offs
 
     if interpret:
@@ -147,8 +149,9 @@ def _make_kernel(geom: _Geometry, corner_slab, rest_centered, interpret,
         roll = lambda x, k: pltpu.roll(x, k, axis=1)
 
     def kernel(
-        par_ref,  # SMEM f32 [1, 12]
-        gid_ref,  # SMEM i32 [1, 1]
+        par_ref,  # SMEM f32 [1, 9]
+        gid_ref,  # SMEM i32 [1, G] grab ids (multi-slot, -1 inactive)
+        gpos_ref,  # SMEM f32 [G, 3] grab targets
         px_ref, py_ref, pz_ref,  # VMEM f32 [rows,128] pos at substep start
         ppx_ref, ppy_ref, ppz_ref,  # VMEM f32 [rows,128] prev pos
         movw_ref,  # VMEM f32 [rows,128] movable mask (1/0)
@@ -254,8 +257,6 @@ def _make_kernel(geom: _Geometry, corner_slab, rest_centered, interpret,
         def _():
             wminx, wminy, wminz = par_ref[0, 3], par_ref[0, 4], par_ref[0, 5]
             wmaxx, wmaxy, wmaxz = par_ref[0, 6], par_ref[0, 7], par_ref[0, 8]
-            gpx, gpy, gpz = par_ref[0, 9], par_ref[0, 10], par_ref[0, 11]
-            gid = gid_ref[0, 0]
             k = jnp.minimum(1.0, dt * friction)
             for r0 in range(0, rows, _CHUNK):
                 n = min(_CHUNK, rows - r0)
@@ -273,24 +274,29 @@ def _make_kernel(geom: _Geometry, corner_slab, rest_centered, interpret,
                 y = jnp.where(below, 0.0, y)
                 x = x + jnp.where(below, (px_ref[sl] - x) * k, 0.0)
                 z = z + jnp.where(below, (pz_ref[sl] - z) * k, 0.0)
-                # grab override (scalar grab id on global flat vertex index)
+                # grab overrides (G slots on global flat vertex index —
+                # one per grabber, common.norm_grabs semantics)
                 pid = (
                     jax.lax.broadcasted_iota(jnp.int32, (n, _LANES), 0)
                     + r0
                 ) * _LANES + jax.lax.broadcasted_iota(
                     jnp.int32, (n, _LANES), 1
                 )
-                hit = pid == gid
-                ox_ref[sl] = jnp.where(hit, gpx, x)
-                oy_ref[sl] = jnp.where(hit, gpy, y)
-                oz_ref[sl] = jnp.where(hit, gpz, z)
+                for g in range(n_grabs):
+                    hit = pid == gid_ref[0, g]
+                    x = jnp.where(hit, gpos_ref[g, 0], x)
+                    y = jnp.where(hit, gpos_ref[g, 1], y)
+                    z = jnp.where(hit, gpos_ref[g, 2], z)
+                ox_ref[sl] = x
+                oy_ref[sl] = y
+                oz_ref[sl] = z
 
     return kernel
 
 
 @functools.lru_cache(maxsize=16)
 def _build_call(dims, slab_offsets, corner_slab, rest_centered, rest_volume,
-                interpret: bool, epilogue: bool):
+                interpret: bool, epilogue: bool, n_grabs: int = 1):
     """Build the per-substep pallas_call + packed static mask for `dims`.
 
     ``epilogue=True`` (single-chip form): accumulators are scratch, the
@@ -302,7 +308,8 @@ def _build_call(dims, slab_offsets, corner_slab, rest_centered, rest_volume,
     """
     geom = _Geometry(dims, slab_offsets, rest_volume)
     kernel = _make_kernel(
-        geom, corner_slab, rest_centered, interpret, epilogue=epilogue
+        geom, corner_slab, rest_centered, interpret, epilogue=epilogue,
+        n_grabs=n_grabs,
     )
     rows, rb, nb, qrows = geom.rows, geom.rb, geom.nb, geom.qrows
 
@@ -324,7 +331,7 @@ def _build_call(dims, slab_offsets, corner_slab, rest_centered, rest_volume,
         kernel,
         grid=(nb,),
         out_shape=[plane] * 3 + [qshape] + [plane] * n_acc_out,
-        in_specs=[smem, smem] + [full] * 8 + [wblock, qblock],
+        in_specs=[smem, smem, smem] + [full] * 8 + [wblock, qblock],
         out_specs=[full, full, full, qblock] + [full] * n_acc_out,
         scratch_shapes=(
             [pltpu.VMEM((rows, _LANES), jnp.float32)] * 3 if epilogue else []
@@ -342,12 +349,12 @@ def _build_call(dims, slab_offsets, corner_slab, rest_centered, rest_volume,
     return geom, call, geom.wmask(rest_volume)
 
 
-def _make_call(*key):
-    return _build_call(*key, True)
+def _make_call(*key, n_grabs: int = 1):
+    return _build_call(*key, True, n_grabs)
 
 
-def _make_call_acc(*key):
-    return _build_call(*key, False)
+def _make_call_acc(*key, n_grabs: int = 1):
+    return _build_call(*key, False, n_grabs)
 
 
 def _geometry_key(arr: GridArrays):
@@ -449,7 +456,9 @@ def make_frame_stepper(arr: GridArrays, interpret: bool | None = None):
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    geom, call, wmask_np = _make_call(*_geometry_key(arr), bool(interpret))
+    # geometry/mask only; the pallas_call is re-resolved per step for the
+    # controls' grab-slot count (lru-cached — repeat steps are a dict hit)
+    geom, _, wmask_np = _make_call(*_geometry_key(arr), bool(interpret))
     wmask = jnp.asarray(wmask_np)
     nv = geom.nv
     movw = _pack_flat(
@@ -468,12 +477,10 @@ def make_frame_stepper(arr: GridArrays, interpret: bool | None = None):
         )
 
     def step(packed, params: PhysicsParams, controls: Controls):
-        if controls.grab_id.ndim != 0:
-            raise NotImplementedError(
-                "polar_grid_pallas supports the scalar grab_id form; use "
-                "the generic polar engine for flattened multi-body vector "
-                "grabs"
-            )
+        gid, gpos = norm_grabs(controls)  # [G], [G,3] multi-slot grabs
+        _, callg, _ = _make_call(
+            *_geometry_key(arr), bool(interpret), n_grabs=gid.shape[0]
+        )
         dt = params.dt
         par = jnp.stack(
             [
@@ -482,16 +489,15 @@ def make_frame_stepper(arr: GridArrays, interpret: bool | None = None):
                 params.friction,
                 params.world_min[0], params.world_min[1], params.world_min[2],
                 params.world_max[0], params.world_max[1], params.world_max[2],
-                controls.grab_pos[0], controls.grab_pos[1],
-                controls.grab_pos[2],
             ]
-        ).reshape(1, 12).astype(jnp.float32)
-        gid = controls.grab_id.reshape(1, 1).astype(jnp.int32)
+        ).reshape(1, 9).astype(jnp.float32)
+        gid = gid.reshape(1, -1)
 
         def body(carry, _):
             (px, py, pz), _prev, quats = carry
-            nx_, ny_, nz_, nq = call(
-                par, gid, px, py, pz, *_prev, movw, invden, wmask, quats
+            nx_, ny_, nz_, nq = callg(
+                par, gid, gpos, px, py, pz, *_prev, movw, invden, wmask,
+                quats
             )
             return ((nx_, ny_, nz_), (px, py, pz), nq), None
 
@@ -650,8 +656,14 @@ def make_grid_sharded_stepper(mesh, garr: GridArrays, axis: str = "x",
         f = f.at[lx * gyz : nv_loc].add(fr).at[0:gyz].add(fl)
         return f.reshape(rows, _LANES)
 
-    def _make_shard_body(num_substeps):
-        def shard_body(p, pp, quats, movw, invden, par, gid):
+    def _make_shard_body(num_substeps, n_grabs):
+        _, callg, _ = _make_call_acc(
+            (lx, ny, nz), garr.slab_offsets, garr.corner_slab,
+            garr.rest_centered, garr.rest_volume, bool(interpret),
+            n_grabs=n_grabs,
+        )
+
+        def shard_body(p, pp, quats, movw, invden, par, gid, gpos):
             px, py, pz = p
             ppx, ppy, ppz = pp
             x_offset = jax.lax.axis_index(axis).astype(jnp.int32) * (
@@ -661,21 +673,20 @@ def make_grid_sharded_stepper(mesh, garr: GridArrays, axis: str = "x",
             friction = par[0, 2]
             wmin = par[0, 3:6]
             wmax = par[0, 6:9]
-            gpos = par[0, 9:12]
             k = jnp.minimum(1.0, dt * friction)
             pid = (
                 jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0) * _LANES
                 + jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
                 + x_offset
             )
-            hit = pid == gid[0, 0]
+            hits = [pid == gid[0, g] for g in range(n_grabs)]
             movable = movw > 0.0
 
             def substep(carry, _):
                 (px, py, pz), (ppx, ppy, ppz), quats = carry
-                prx, pry, prz, nq, ax, ay, az = call(
-                    par, gid, px, py, pz, ppx, ppy, ppz, movw, invden,
-                    wmask, quats,
+                prx, pry, prz, nq, ax, ay, az = callg(
+                    par, gid, gpos, px, py, pz, ppx, ppy, ppz, movw,
+                    invden, wmask, quats,
                 )
                 ax, ay, az = _halo(ax), _halo(ay), _halo(az)
                 # apply + collide + grab — the kernel epilogue's exact op order
@@ -689,9 +700,10 @@ def make_grid_sharded_stepper(mesh, garr: GridArrays, axis: str = "x",
                 y = jnp.where(below, 0.0, y)
                 x = x + jnp.where(below, (px - x) * k, 0.0)
                 z = z + jnp.where(below, (pz - z) * k, 0.0)
-                x = jnp.where(hit, gpos[0], x)
-                y = jnp.where(hit, gpos[1], y)
-                z = jnp.where(hit, gpos[2], z)
+                for g in range(n_grabs):
+                    x = jnp.where(hits[g], gpos[g, 0], x)
+                    y = jnp.where(hits[g], gpos[g, 1], y)
+                    z = jnp.where(hits[g], gpos[g, 2], z)
                 return (((x, y, z), (px, py, pz), nq), None)
 
             carry, _ = jax.lax.scan(
@@ -703,24 +715,21 @@ def make_grid_sharded_stepper(mesh, garr: GridArrays, axis: str = "x",
         return shard_body
 
     @functools.partial(jax.jit, static_argnames=("num_substeps",))
-    def _sharded(packed, par, gid, movw, invden, num_substeps):
+    def _sharded(packed, par, gid, gpos, movw, invden, num_substeps):
         p, pp, quats = packed
         fn = jax.shard_map(
-            _make_shard_body(num_substeps),
+            _make_shard_body(num_substeps, gid.shape[1]),
             mesh=mesh,
             in_specs=(
-                (spec,) * 3, (spec,) * 3, qspec, spec, spec, P(), P(),
+                (spec,) * 3, (spec,) * 3, qspec, spec, spec, P(), P(), P(),
             ),
             out_specs=((spec,) * 3, (spec,) * 3, qspec),
             check_vma=False,
         )
-        return fn(p, pp, quats, movw, invden, par, gid)
+        return fn(p, pp, quats, movw, invden, par, gid, gpos)
 
     def step(packed, params: PhysicsParams, controls: Controls):
-        if controls.grab_id.ndim != 0:
-            raise NotImplementedError(
-                "sharded stencil path supports the scalar grab_id form"
-            )
+        gid, gpos = norm_grabs(controls)  # [G], [G,3] multi-slot grabs
         dt = params.dt
         par = jnp.stack(
             [
@@ -731,13 +740,11 @@ def make_grid_sharded_stepper(mesh, garr: GridArrays, axis: str = "x",
                 params.world_min[2],
                 params.world_max[0], params.world_max[1],
                 params.world_max[2],
-                controls.grab_pos[0], controls.grab_pos[1],
-                controls.grab_pos[2],
             ]
-        ).reshape(1, 12).astype(jnp.float32)
-        gid = controls.grab_id.reshape(1, 1).astype(jnp.int32)
+        ).reshape(1, 9).astype(jnp.float32)
+        gid = gid.reshape(1, -1)
         out = _sharded(
-            packed, par, gid, movw_g, invden_g, params.num_substeps
+            packed, par, gid, gpos, movw_g, invden_g, params.num_substeps
         )
         if mesh.devices.flat[0].platform == "cpu":
             # serialize dispatch on the CPU test backend (XLA-CPU's

@@ -63,6 +63,20 @@ def apply_grab(pos, controls: Controls):
     return pos.at[safe].set(controls.grab_pos, mode="drop")
 
 
+def norm_grabs(controls: Controls):
+    """Controls -> (gid i32 [G], gpos f32 [G,3]): the K-simultaneous-grab
+    form shared by the grid/stencil engines (one slot per grabber — the
+    reference's one-grabber-per-body scene, Softbody.js:279-298 via
+    main.js:56-65, flattened).  A scalar grab_id (reference semantics)
+    becomes G=1; negative ids are inactive."""
+    gid = jnp.asarray(controls.grab_id)
+    gpos = jnp.asarray(controls.grab_pos, jnp.float32)
+    if gid.ndim == 0:
+        gid = gid[None]
+        gpos = gpos[None, :]
+    return gid.astype(jnp.int32), gpos.reshape(gid.shape[0], 3)
+
+
 def velocity_update(pos, prev_pos, dt):
     """vel = (pos - prev_pos)/dt (Softbody.js:238-239)."""
     return (pos - prev_pos) / dt

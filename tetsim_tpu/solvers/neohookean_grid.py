@@ -38,6 +38,7 @@ from flax import struct
 from ..mesh import TetMesh
 from ..params import PhysicsParams
 from ..state import SimState, Controls
+from .common import norm_grabs
 
 _EPS = 1e-9
 _OFFSETS = tuple(
@@ -527,10 +528,12 @@ def collide_grab_phase(X, Y, Z, PX, PY, PZ, pid, params, dt,
     k = jnp.minimum(1.0, dt * params.friction)
     X = X + jnp.where(below, (PX - X) * k, 0.0)
     Z = Z + jnp.where(below, (PZ - Z) * k, 0.0)
-    hit = pid == controls.grab_id
-    X = jnp.where(hit, controls.grab_pos[0], X)
-    Y = jnp.where(hit, controls.grab_pos[1], Y)
-    Z = jnp.where(hit, controls.grab_pos[2], Z)
+    gid, gpos = norm_grabs(controls)  # G simultaneous slots
+    for g in range(gid.shape[0]):
+        hit = pid == gid[g]
+        X = jnp.where(hit, gpos[g, 0], X)
+        Y = jnp.where(hit, gpos[g, 1], Y)
+        Z = jnp.where(hit, gpos[g, 2], Z)
     return X, Y, Z, (X - PX) / dt, (Y - PY) / dt, (Z - PZ) / dt
 
 
@@ -545,12 +548,6 @@ def _substep_blocks(carry, arr: NHGridArrays, params, dt, controls: Controls,
     X, Y, Z, vol_err = _gs_sweep(X, Y, Z, arr, dt, params,
                                  exchange=exchange, color_scan=color_scan)
 
-    gid = controls.grab_id
-    if gid.ndim != 0:
-        raise NotImplementedError(
-            "neohookean_grid supports the scalar grab_id form; use the "
-            "generic neohookean engine for multi-body vector grabs"
-        )
     pid = _block_pid(arr.dims)
     (hx, hy, hz), lh, lhp = _geometry(arr.dims)
     pid = jnp.pad(pid, ((0, 0), (0, lhp - lh)), constant_values=-2)

@@ -42,6 +42,7 @@ from flax import struct
 from ..mesh import TetMesh
 from ..params import PhysicsParams
 from ..state import SimState, Controls
+from .common import norm_grabs
 
 _EXTRACT_ITERS = 9  # SoftbodyGPU.js:123
 _EPS = 1e-9
@@ -395,22 +396,19 @@ def _substep(
     px = px + jnp.where(below, (ppx - px) * k, 0.0)
     pz = pz + jnp.where(below, (ppz - pz) * k, 0.0)
 
-    # grab override (common.apply_grab, scalar grab id).  x_offset shifts
-    # local FLAT indices to GLOBAL particle ids on the sharded path.
-    gid = controls.grab_id
-    if gid.ndim != 0:
-        raise NotImplementedError(
-            "polar_grid supports the scalar grab_id form; use the generic "
-            "polar engine for flattened multi-body vector grabs"
-        )
+    # grab overrides (common.norm_grabs: G simultaneous slots — one per
+    # grabber, the reference's one-grabber-per-body scene).  x_offset
+    # shifts local FLAT indices to GLOBAL particle ids on the sharded path.
+    gid, gpos = norm_grabs(controls)
     n = px.shape[0]
     pid = (
         jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n) + x_offset
     )
-    hit = pid == gid
-    px = jnp.where(hit, controls.grab_pos[0], px)
-    py = jnp.where(hit, controls.grab_pos[1], py)
-    pz = jnp.where(hit, controls.grab_pos[2], pz)
+    for g in range(gid.shape[0]):
+        hit = pid == gid[g]
+        px = jnp.where(hit, gpos[g, 0], px)
+        py = jnp.where(hit, gpos[g, 1], py)
+        pz = jnp.where(hit, gpos[g, 2], pz)
 
     # velocity update
     vx, vy, vz = (px - ppx) / dt, (py - ppy) / dt, (pz - ppz) / dt

@@ -99,7 +99,9 @@ class _View:
                     self.surface.skin_ids, self.surface.skin_w,
                     self.surface.tris,
                 )
-        elif isinstance(body, BatchedBody):
+        elif isinstance(body, BatchedBody) or type(body).__name__ == "GridBodyBatch":
+            # GridBodyBatch mirrors BatchedBody's contract (states with a
+            # leading body axis instead of a flat mesh — reshape covers it)
             self.kind = "batched"
             self.n_particles = body.flat_mesh.num_particles
             self.surface = body._surface
@@ -153,7 +155,7 @@ class _View:
                 return self.body.pos_device()
             return self.body.state.pos
         if self.kind == "batched":
-            return self.body.states.pos
+            return self.body.states.pos.reshape(-1, 3)
         b = self.body
         from ..world import DenseBody
 
@@ -175,14 +177,9 @@ class _View:
                 grab_pos=jnp.asarray(point, jnp.float32),
             )
         elif self.kind == "batched":
-            sub = pid // self.body._n
-            self._grab_sub = sub
-            self.body.controls = Controls(
-                grab_id=self.body.controls.grab_id.at[sub].set(pid),
-                grab_pos=self.body.controls.grab_pos.at[sub].set(
-                    jnp.asarray(point, jnp.float32)
-                ),
-            )
+            # flat raycast pid -> the owning body's slot (BatchedBody keeps
+            # flat ids; GridBodyBatch converts to its local id space)
+            self._grab_sub = self.body.grab_particle(pid, point)
         else:
             n = self._n_per
             sub = pid // n
@@ -224,6 +221,7 @@ class _View:
                 grab_id=jnp.full((self.body.num_bodies,), -1, jnp.int32),
                 grab_pos=jnp.zeros((self.body.num_bodies, 3), jnp.float32),
             )
+            self.body.last_diag = None
         else:
             self.body.state = self._state0
             if hasattr(self.body, "quats"):  # FusedPolarBody rotation state

@@ -507,6 +507,195 @@ class BatchedBody:
         )
         return int(local)
 
+    def grab_particle(self, flat_pid: int, point):
+        """Grab a KNOWN flat particle id (viewer raycast hit) in its
+        owning body's slot."""
+        body = int(flat_pid) // self._n
+        self._check_body(body)
+        self.controls = Controls(
+            grab_id=self.controls.grab_id.at[body].set(int(flat_pid)),
+            grab_pos=self.controls.grab_pos.at[body].set(
+                jnp.asarray(point, jnp.float32)
+            ),
+        )
+        return body
+
+    def move_grabbed(self, body: int, point):
+        self._check_body(body)
+        self.controls = self.controls.replace(
+            grab_pos=self.controls.grab_pos.at[body].set(
+                jnp.asarray(point, jnp.float32)
+            )
+        )
+
+    def end_grab(self, body: int):
+        self._check_body(body)
+        self.controls = self.controls.replace(
+            grab_id=self.controls.grab_id.at[body].set(-1)
+        )
+
+
+class GridBodyBatch:
+    """B grid boxes stepped as ONE vmapped stencil-engine call, each with
+    its own grab slot — the reference's one-grabber-per-body scene
+    (main.js:56-65, Softbody.js:279-298) on the structured scale engines.
+
+    The XLA stencil engines (polar_grid / neohookean_grid) vmap cleanly:
+    every instance runs the identical static-slice stencil program, and
+    per-body controls batch on the leading axis (inside the trace each
+    instance sees the scalar-grab reference semantics).  The fused Pallas
+    kernels stay single-box (a vmap would re-grid their VMEM-resident
+    planes); batch those by stacking Bodies instead.
+
+    External contract mirrors BatchedBody (the viewer's "batched" kind):
+    ``flat_mesh`` (connectivity for rendering), ``states`` (leading body
+    axis), ``controls`` ([B] grab slots), per-body
+    start_grab/move_grabbed/end_grab, ``grab_particle`` (flat-id routing),
+    ``positions`` [B, N, 3].
+    """
+
+    def __init__(
+        self,
+        dims,
+        num_bodies: int,
+        cell: float = 0.1,
+        origins=None,
+        engine: str = "polar_grid",
+        density: float = 1000.0,
+        with_edges: bool = False,
+        with_surface: bool = False,
+        color_scan: bool = False,
+    ):
+        from .mesh import grid_mesh, replicate_mesh
+
+        if engine not in ("polar_grid", "neohookean_grid"):
+            raise ValueError(
+                "GridBodyBatch runs the XLA stencil engines "
+                f"(polar_grid / neohookean_grid), not {engine!r}"
+            )
+        self.engine = engine
+        self.num_bodies = num_bodies
+        self.dims = tuple(dims)
+        mesh = grid_mesh(*dims, cell=cell, origin=(0.0, 0.0, 0.0),
+                         with_edges=with_edges)
+        if with_surface:
+            from .mesh import with_boundary_surface
+
+            mesh = with_boundary_surface(mesh)
+        self.mesh = mesh
+        self._n = mesh.num_particles
+        if engine == "neohookean_grid":
+            from .solvers.neohookean_grid import build_nh_grid_arrays
+
+            self.arrays = build_nh_grid_arrays(
+                mesh, self.dims, density=density
+            )
+        else:
+            from .solvers.polar_grid import build_grid_arrays
+
+            self.arrays = build_grid_arrays(mesh, self.dims, density=density)
+        if origins is None:
+            # spread along x, one box-width + one cell apart
+            w = dims[0] * cell
+            origins = np.stack(
+                [
+                    np.arange(num_bodies, dtype=np.float32) * (w + cell),
+                    np.full(num_bodies, 0.5, np.float32),
+                    np.zeros(num_bodies, np.float32),
+                ],
+                axis=-1,
+            )
+        origins = np.asarray(origins, np.float32).reshape(num_bodies, 3)
+        base = init_state(mesh)
+        self.states = jax.vmap(
+            lambda o: base.replace(pos=base.pos + o,
+                                   prev_pos=base.prev_pos + o)
+        )(jnp.asarray(origins))
+        self.controls = Controls(
+            grab_id=jnp.full((num_bodies,), -1, jnp.int32),
+            grab_pos=jnp.zeros((num_bodies, 3), jnp.float32),
+        )
+        self.last_diag = None
+        # viewer contract: replicated connectivity (positions stream live)
+        self.flat_mesh = replicate_mesh(mesh, num_bodies)
+        self._surface = (
+            _Surface(self.flat_mesh)
+            if self.flat_mesh.vis_tet_ids is not None
+            else None
+        )
+        self._color_scan = color_scan
+        self._step_jit = None
+
+    def _build_step(self):
+        if self.engine == "neohookean_grid":
+            from .solvers import neohookean_grid as eng
+
+            def one(state, arr, params, controls):
+                return eng.step_frame(state, arr, params, controls,
+                                      color_scan=self._color_scan)
+        else:
+            from .solvers import polar_grid as eng
+
+            one = eng.step_frame
+
+        return jax.jit(jax.vmap(one, in_axes=(0, None, None, 0)))
+
+    def step(self, params: PhysicsParams):
+        if self._step_jit is None:
+            self._step_jit = self._build_step()
+        self.states, diag = self._step_jit(
+            self.states, self.arrays, params, self.controls
+        )
+        self.last_diag = diag
+        return diag
+
+    @property
+    def positions(self) -> np.ndarray:
+        """[num_bodies, N, 3]."""
+        return np.asarray(self.states.pos)
+
+    def surface_mesh(self, normals: str = "smooth"):
+        if self._surface is None:
+            raise ValueError("mesh has no embedded render surface")
+        return self._surface.mesh_data(
+            self.states.pos.reshape(-1, 3), None, normals
+        )
+
+    # -- per-body interaction (BatchedBody contract) ----------------------
+    def _check_body(self, body: int):
+        if not 0 <= body < self.num_bodies:
+            raise IndexError(
+                f"body index {body} out of range (batch has "
+                f"{self.num_bodies})"
+            )
+
+    def start_grab(self, body: int, point) -> int:
+        """Grab body's nearest particle to `point`; returns the LOCAL
+        particle id (grid engines address particles per body)."""
+        self._check_body(body)
+        point = jnp.asarray(point, jnp.float32)
+        local = _nearest_particle(self.states.pos[body], point)
+        self.controls = Controls(
+            grab_id=self.controls.grab_id.at[body].set(local),
+            grab_pos=self.controls.grab_pos.at[body].set(point),
+        )
+        return int(local)
+
+    def grab_particle(self, flat_pid: int, point):
+        """Grab a KNOWN flat particle id (viewer raycast hit over the
+        replicated mesh); converts to the owning body's LOCAL id."""
+        body = int(flat_pid) // self._n
+        self._check_body(body)
+        self.controls = Controls(
+            grab_id=self.controls.grab_id.at[body].set(
+                int(flat_pid) % self._n
+            ),
+            grab_pos=self.controls.grab_pos.at[body].set(
+                jnp.asarray(point, jnp.float32)
+            ),
+        )
+        return body
+
     def move_grabbed(self, body: int, point):
         self._check_body(body)
         self.controls = self.controls.replace(
@@ -684,6 +873,30 @@ class World:
             body = Body(mesh, engine=engine, arrays=arrays, coloring=None)
         self.bodies.append(body)
         return body
+
+    def add_grid_body_batch(
+        self,
+        dims,
+        num_bodies: int,
+        cell: float = 0.1,
+        origins=None,
+        engine: str = "polar_grid",
+        density: Optional[float] = None,
+        with_edges: bool = False,
+        with_surface: bool = False,
+        color_scan: bool = False,
+    ) -> "GridBodyBatch":
+        """Add B grid boxes stepped as one vmapped stencil-engine call,
+        each with its own grab slot (the reference's one-grabber-per-body
+        interactivity, main.js:56-65, on the structured scale engines)."""
+        d = float(self.params.density) if density is None else density
+        batch = GridBodyBatch(
+            dims, num_bodies, cell=cell, origins=origins, engine=engine,
+            density=d, with_edges=with_edges, with_surface=with_surface,
+            color_scan=color_scan,
+        )
+        self.bodies.append(batch)
+        return batch
 
     def add_body_batch(
         self,
