@@ -42,7 +42,6 @@ def _dense(mesh, params, frames, nb=3, grab=None):
     return np.asarray(state.pos), np.asarray(state.vel)
 
 
-@pytest.mark.quick
 def test_dense_matches_classic(small):
     params = ts.PhysicsParams(num_substeps=2)
     ref_pos, ref_vel = _classic(small, params, frames=4)

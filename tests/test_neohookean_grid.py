@@ -28,7 +28,6 @@ def _drop_state(mesh, vel_seed=0):
     return state.replace(vel=vel)
 
 
-@pytest.mark.quick
 def test_matches_generic_engine_same_coloring(grid_setup):
     dims, mesh, arr_g, arr_s = grid_setup
     params = ts.default_cpu_params()
@@ -141,3 +140,31 @@ def test_color_scan_matches_unrolled():
     assert err == 0.0, f"color_scan vs unrolled drift {err}"
     derr = float(np.abs(np.asarray(du) - np.asarray(ds)).max())
     assert derr == 0.0, f"color_scan diag drift {derr}"
+
+
+@pytest.mark.quick
+def test_quick_parity_stencil_vs_generic():
+    """Quick-lane parity (one dims, O0 compiles): the 48-color stencil
+    engine == the generic engine on the identical schedule."""
+    dims = (3, 3, 3)
+    mesh = ts.grid_mesh(*dims, cell=0.25, origin=(-0.3, 0.6, -0.3))
+    arr_g = ts.build_arrays(mesh, coloring=nhg.grid_coloring(dims))
+    arr_s = nhg.build_nh_grid_arrays(mesh, dims)
+    params = ts.default_cpu_params()
+    controls = ts.Controls.none()
+    o0 = {"xla_backend_optimization_level": "0"}
+    sg = _drop_state(mesh)
+    ss = _drop_state(mesh)
+    step_g = (
+        jax.jit(get_engine("neohookean").step_frame)
+        .lower(sg, arr_g, params, controls).compile(o0)
+    )
+    step_s = (
+        jax.jit(nhg.step_frame)
+        .lower(ss, arr_s, params, controls).compile(o0)
+    )
+    for _ in range(6):
+        sg, _ = step_g(sg, arr_g, params, controls)
+        ss, _ = step_s(ss, arr_s, params, controls)
+    err = float(np.abs(np.asarray(sg.pos) - np.asarray(ss.pos)).max())
+    assert err < 2e-5, f"stencil vs generic drift {err}"

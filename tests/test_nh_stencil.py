@@ -58,7 +58,6 @@ def _drop_state(mesh, vel_seed=0):
     return state.replace(vel=vel)
 
 
-@pytest.mark.quick
 def test_matches_xla_stencil_engine(setup):
     mesh, arr, params, fused, xla = setup
     controls = ts.Controls.none()
@@ -267,3 +266,41 @@ def test_sharded_dynamic_matches_xla_engine():
     out = unprepare(packed, params)
     err = float(np.abs(np.asarray(out.pos) - np.asarray(ref.pos)).max())
     assert err < 2e-5, f"dynamic sharded fused vs XLA drift {err}"
+
+
+@pytest.mark.quick
+def test_quick_parity_fused_dynamic_vs_xla():
+    """Quick-lane parity: the fused NH monolith (dynamic fori-table form —
+    small trace, fast compile) == the XLA stencil engine (color_scan form)
+    over 5 frames on a tiny grid.  Both sides share _solve_color and the
+    color order, so this catches sweep/kernel drift cheaply; the unrolled
+    forms are covered by the full suite."""
+    dims = (4, 2, 2)
+    mesh = ts.grid_mesh(*dims, cell=0.25, origin=(0.0, 0.6, 0.0))
+    arr = nhg.build_nh_grid_arrays(mesh, dims)
+    params = ts.default_cpu_params()
+    controls = ts.Controls.none()
+    state0 = _drop_state(mesh, vel_seed=5)
+
+    pack, step, unpack, _ = nh_stencil.make_frame_stepper(
+        arr, interpret=True, dynamic=True
+    )
+    jstep = (
+        jax.jit(step)
+        .lower(pack(state0, params), params, controls)
+        .compile(_O0)
+    )
+    xstep = (
+        jax.jit(lambda s, a, p, c: nhg.step_frame(s, a, p, c,
+                                                  color_scan=True))
+        .lower(state0, arr, params, controls)
+        .compile(_O0)
+    )
+    packed = pack(state0, params)
+    ref = state0
+    for _ in range(5):
+        packed = jstep(packed, params, controls)
+        ref, _ = xstep(ref, arr, params, controls)
+    out = unpack(packed, params)
+    err = float(np.abs(np.asarray(out.pos) - np.asarray(ref.pos)).max())
+    assert err < 2e-5, f"fused dynamic vs XLA drift {err}"
