@@ -654,3 +654,61 @@ def test_nh_stencil_packed_rate_floor():
         f"fused NH kernel only {ratio:.2f}x the XLA stencil engine "
         f"({per_substep*1e3:.3f} vs {xla_per_substep*1e3:.3f} ms/substep)"
     )
+
+
+def test_vector_grabs_on_fused_kernels_on_hardware():
+    """Round-4 multi-slot grabs: the G-slot SMEM grab tables (gid [1,G],
+    gpos [G,3]) must lower through Mosaic and pin BOTH grabbed vertices in
+    the fused NH and polar stencil kernels (interpret-mode parity is
+    already enforced in tests/; this is the real-lowering check)."""
+    from tetsim_tpu.solvers import neohookean_grid as nhg
+    from tetsim_tpu.solvers import polar_grid as pg
+    from tetsim_tpu.kernels import nh_stencil, polar_stencil
+
+    dims = (6, 4, 4)
+    mesh = ts.grid_mesh(*dims, cell=0.15, origin=(-0.45, 0.6, -0.3))
+    ids = np.array([0, mesh.num_particles - 1], np.int32)
+    targets = np.array([[-0.4, 1.2, -0.2], [0.5, 1.3, 0.4]], np.float32)
+    controls = ts.Controls(grab_id=jnp.asarray(ids),
+                           grab_pos=jnp.asarray(targets))
+    params = ts.PhysicsParams(num_substeps=5)
+
+    narr = nhg.build_nh_grid_arrays(mesh, dims)
+    s = ts.init_state(mesh)
+    for _ in range(3):
+        s, _ = nh_stencil.step_frame(s, narr, params, controls,
+                                     interpret=False)
+    pos = np.asarray(s.pos)
+    np.testing.assert_allclose(pos[ids[0]], targets[0], atol=1e-5)
+    np.testing.assert_allclose(pos[ids[1]], targets[1], atol=1e-5)
+
+    parr = pg.build_grid_arrays(mesh, dims)
+    s = ts.init_state(mesh)
+    for _ in range(3):
+        s, _ = polar_stencil.step_frame(s, parr, params, controls,
+                                        interpret=False)
+    pos = np.asarray(s.pos)
+    np.testing.assert_allclose(pos[ids[0]], targets[0], atol=1e-5)
+    np.testing.assert_allclose(pos[ids[1]], targets[1], atol=1e-5)
+
+
+def test_nh_dynamic_sweep_on_hardware():
+    """The fori-table dynamic sweep (traced lane rotates + dynamic block
+    slices) must lower through Mosaic and match the unrolled kernel
+    bit-for-bit, as it does in interpret mode."""
+    from tetsim_tpu.solvers import neohookean_grid as nhg
+    from tetsim_tpu.kernels import nh_stencil
+
+    dims = (6, 4, 4)
+    mesh = ts.grid_mesh(*dims, cell=0.15, origin=(-0.45, 0.6, -0.3))
+    arr = nhg.build_nh_grid_arrays(mesh, dims)
+    params = ts.PhysicsParams(num_substeps=5)
+    controls = ts.Controls.none()
+    su, sd = ts.init_state(mesh), ts.init_state(mesh)
+    for _ in range(5):
+        su, _ = nh_stencil.step_frame(su, arr, params, controls,
+                                      interpret=False)
+        sd, _ = nh_stencil.step_frame(sd, arr, params, controls,
+                                      interpret=False, dynamic=True)
+    err = float(np.abs(np.asarray(su.pos) - np.asarray(sd.pos)).max())
+    assert err == 0.0, f"dynamic vs unrolled drift on hardware: {err}"

@@ -550,6 +550,7 @@ def step_frame(
     controls: Controls,
     axis_name=None,
     interpret: bool | None = None,
+    dynamic: bool | None = None,
 ):
     """Engine-API wrapper (one frame = num_substeps fused substeps).
 
@@ -558,7 +559,7 @@ def step_frame(
     omits it — same convention as kernels/polar_stencil.step_frame.
     """
     del axis_name
-    pack, step, unpack, _ = make_frame_stepper(arr, interpret)
+    pack, step, unpack, _ = make_frame_stepper(arr, interpret, dynamic)
     packed = step(pack(state, params), params, controls)
     new = unpack(packed, params)
     return state.replace(pos=new.pos, prev_pos=new.prev_pos, vel=new.vel), \
