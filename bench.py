@@ -28,44 +28,67 @@ import numpy as np
 BASELINE_SUBSTEPS_PER_SEC = 300.0  # reference CPU path @60Hz (main.js:25-27)
 
 
-def _device_canary(timeout_s: float = 120.0):
-    """Fail FAST if the device backend is unavailable or the relay is
-    wedged (VERDICT r3: one wedge at snapshot time zeroed the round's
-    bench after a long hang).  Probes the default backend with a tiny
-    data-dependent computation in a daemon thread; a hang or init error
-    surfaces as a clear one-line rc=1 within timeout_s instead of a
-    25-minute stall."""
-    import threading
+def _device_canary(budget_s: float | None = None):
+    """Gate the heavy sections on a LIVE device, without hanging on a
+    wedged relay (VERDICT r3: one wedge at snapshot time zeroed the
+    round's bench after a 25-minute stall).
 
-    result = {}
+    Each probe is a fresh SUBPROCESS that runs a tiny data-dependent
+    computation in a daemon thread and exits on its own within ~2 min
+    (never killed externally — killing a client mid-relay-RPC wedges the
+    relay further, BENCHNOTES).  Subprocesses matter twice over: this
+    process must not import jax before the device is known-good (a failed
+    backend init is cached for the process lifetime), and a relay wedge
+    typically clears in 10-40 min, so a failed probe retries once a
+    minute until the budget runs out (TETSIM_CANARY_BUDGET_S, default
+    900 s) instead of permanently failing the round's snapshot on a
+    transient."""
+    import os
+    import subprocess
 
-    def probe():
-        try:
-            import jax
-            import jax.numpy as jnp
-
-            result["platform"] = jax.default_backend()
-            result["ok"] = float(jnp.arange(8.0).sum()) == 28.0
-        except Exception as e:  # backend init failure
-            result["err"] = f"{type(e).__name__}: {str(e)[:300]}"
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if t.is_alive():
-        print(
-            f"bench canary: device probe still hanging after {timeout_s:.0f}s "
-            "— the accelerator relay looks wedged; aborting before the heavy "
-            "sections (rerun once the relay recovers, typically 10-40 min).",
-            file=sys.stderr, flush=True,
+    if budget_s is None:
+        budget_s = float(os.environ.get("TETSIM_CANARY_BUDGET_S", "900"))
+    probe_src = (
+        "import threading, sys\n"
+        "out = {}\n"
+        "def p():\n"
+        "    try:\n"
+        "        import jax, jax.numpy as jnp\n"
+        "        out['plat'] = jax.default_backend()\n"
+        "        out['ok'] = float(jnp.arange(8.0).sum()) == 28.0\n"
+        "    except Exception as e:\n"
+        "        out['err'] = f'{type(e).__name__}: {e}'[:300]\n"
+        "t = threading.Thread(target=p, daemon=True)\n"
+        "t.start(); t.join(120)\n"
+        "if out.get('ok'): print('OK', out['plat']); sys.exit(0)\n"
+        "if 'err' in out: print('ERR', out['err']); sys.exit(1)\n"
+        "print('HUNG: relay wedged (probe alive at 120 s)'); sys.exit(2)\n"
+    )
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        r = subprocess.run(
+            [sys.executable, "-c", probe_src], capture_output=True, text=True
         )
-        raise SystemExit(1)
-    if "err" in result:
-        print(f"bench canary: backend init failed — {result['err']}",
-              file=sys.stderr, flush=True)
-        raise SystemExit(1)
-    print(f"bench canary ok: platform={result.get('platform')}",
-          file=sys.stderr, flush=True)
+        lines = [l for l in r.stdout.strip().splitlines() if l.strip()]
+        msg = lines[-1] if lines else f"rc={r.returncode} (no output)"
+        if r.returncode == 0:
+            print(f"bench canary ok: {msg} (attempt {attempt})",
+                  file=sys.stderr, flush=True)
+            return
+        left = deadline - time.monotonic()
+        if left <= 0:
+            print(
+                f"bench canary: device unavailable after {attempt} probes "
+                f"over {budget_s:.0f}s — last: {msg}. Aborting before the "
+                "heavy sections (relay wedges clear in 10-40 min; rerun).",
+                file=sys.stderr, flush=True,
+            )
+            raise SystemExit(1)
+        print(f"bench canary: probe {attempt} failed ({msg}); retrying for "
+              f"up to {left:.0f}s more", file=sys.stderr, flush=True)
+        time.sleep(min(60.0, max(5.0, left)))
 
 
 def _enable_compile_cache():
