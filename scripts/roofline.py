@@ -3,13 +3,20 @@
 Publishes the BENCHNOTES performance claims as MEASURED numbers tied to
 hardware ceilings, in one JSON document:
 
-  * ``hbm_copy_gbps``        — streaming elementwise ceiling (the 1.65 TB/s
-                               line), measured with the two-point method on
-                               a 256 MB array.
-  * ``extract_rotation_ms``  — Mueller 9-iteration extractRotation alone
-                               over 1,053,696 tet lanes: the VPU
-                               transcendental floor every polar-path kernel
-                               sits on (BENCHNOTES: ~0.53 ms).
+  * ``hbm_copy_gbps``        — streaming elementwise ceiling (read+write
+                               bytes counted), measured with the two-point
+                               method on a 256 MB array.  v5e spec HBM is
+                               819 GB/s; ~640 GB/s achieved is the real
+                               line every HBM-bound estimate must use.
+  * ``extract_rotation``     — Mueller 9-iteration extractRotation alone
+                               over ~1.05M tet lanes, measured two ways:
+                               in-kernel (a Pallas micro-kernel iterating
+                               on VMEM-resident planes — the true VPU
+                               transcendental floor the fused kernels sit
+                               on) and at XLA level (same math through
+                               jnp, where fusion-boundary HBM round trips
+                               dominate — the gap is the measured case for
+                               whole-substep kernel fusion).
   * per-kernel sections      — measured ms/substep for the fused NH and
                                polar stencil kernels at 56^3 (1,053,696
                                tets), the kernel's resident state bytes,
@@ -76,9 +83,72 @@ def bench_hbm_copy():
     return (2 * 4 * n) / per_iter / 1e9  # read + write GB/s
 
 
-def bench_extract_rotation():
-    """The VPU floor: 9-iteration extractRotation over 1,053,696 lanes
-    (solvers/polar_grid._extract_rotation — the exact in-kernel math)."""
+def bench_extract_rotation_kernel(m_rows=8192, rb=256, interpret=False):
+    """The true VPU floor: extractRotation iterated on VMEM-RESIDENT
+    planes inside one Pallas kernel (solvers/polar_grid._extract_rotation,
+    the exact math the fused kernels inline).  m_rows*128 = 1,048,576
+    lanes ~= the 1M-tet covariance count; per-pass HBM traffic is ZERO
+    (inputs load once per block), so the two-point fit over in-kernel
+    iteration counts isolates pure VPU time."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tetsim_tpu.solvers.polar_grid import _extract_rotation
+
+    a0 = jax.random.uniform(jax.random.PRNGKey(2), (9, m_rows, 128),
+                            jnp.float32, 0.5, 1.5)
+
+    def make_call(k):
+        def kernel(a_ref, o_ref):
+            fixed = [a_ref[i] for i in range(1, 9)]
+
+            def body(_, carry):
+                a00, _, _, _, qw = carry
+                planes = [a00] + fixed
+                a = [[planes[3 * r + c] for c in range(3)] for r in range(3)]
+                qx, qy, qz, qw = _extract_rotation(a)
+                # data-dependent feedback so passes cannot collapse
+                return (a00 + qw * np.float32(1e-20), qx, qy, qz, qw)
+
+            z = jnp.zeros_like(a_ref[0])
+            _, qx, qy, qz, qw = jax.lax.fori_loop(
+                0, k, body, (a_ref[0], z, z, z, z)
+            )
+            o_ref[0], o_ref[1], o_ref[2], o_ref[3] = qx, qy, qz, qw
+
+        return pl.pallas_call(
+            kernel,
+            grid=(m_rows // rb,),
+            in_specs=[pl.BlockSpec((9, rb, 128), lambda b: (0, b, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((4, rb, 128), lambda b: (0, b, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((4, m_rows, 128), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)
+            ),
+            interpret=interpret,
+        )
+
+    def make_run(k):
+        call = make_call(k)
+
+        @jax.jit
+        def run(a):
+            return call(a)
+
+        return run
+
+    return _two_point(make_run, a0, 4, 16) * 1e3  # ms per full 9-it pass
+
+
+def bench_extract_rotation_xla():
+    """Same math at XLA level over 1,053,696 lanes: what extractRotation
+    costs WITHOUT whole-substep kernel fusion (fusion-boundary HBM round
+    trips dominate — publishing the gap vs the in-kernel floor is the
+    measured case for the Pallas kernels)."""
     import jax
     import jax.numpy as jnp
 
@@ -178,9 +248,16 @@ def main():
     out["hbm_copy_gbps"] = round(gbps, 1)
     print(f"hbm copy: {gbps:.0f} GB/s", file=sys.stderr, flush=True)
 
-    er_ms = bench_extract_rotation()
-    out["extract_rotation_1m_ms"] = round(er_ms, 3)
-    print(f"extract_rotation (9 it, 1.05M lanes): {er_ms:.3f} ms",
+    er_ms = bench_extract_rotation_kernel()
+    out["extract_rotation_kernel_ms"] = round(er_ms, 3)
+    print(f"extract_rotation in-kernel (9 it, 1.05M lanes): {er_ms:.3f} ms",
+          file=sys.stderr, flush=True)
+
+    erx_ms = bench_extract_rotation_xla()
+    out["extract_rotation_xla_ms"] = round(erx_ms, 3)
+    out["kernel_fusion_gap_x"] = round(erx_ms / er_ms, 2)
+    print(f"extract_rotation XLA-level: {erx_ms:.3f} ms "
+          f"({erx_ms / er_ms:.1f}x the in-kernel floor)",
           file=sys.stderr, flush=True)
 
     nh_ms, nh_bytes = bench_nh_stencil()
@@ -204,8 +281,9 @@ def main():
         "hbm_stream_floor_ms": round(po_floor, 4),
         "extract_rotation_floor_ms": round(er_ms, 3),
         "vs_vpu_floor": round(po_ms / er_ms, 2),
-        "note": "sits on the extractRotation VPU transcendental floor "
-                "(BENCHNOTES: kernel within ~25% of it)",
+        "note": "VPU-bound: the in-kernel extractRotation floor is the "
+                "dominant term; the remainder is the stencil "
+                "gather/scatter + XPBD tail",
     }
     print(f"polar_stencil: {po_ms:.3f} ms/substep "
           f"(extractRotation floor {er_ms:.3f} ms)",
