@@ -127,3 +127,52 @@ def test_grab_pins_particle_polar(small_mesh):
     for _ in range(30):
         state, _ = step(state, arr, params, ctrl)
     np.testing.assert_allclose(np.asarray(state.pos)[3], np.asarray(target), atol=1e-6)
+
+
+def test_extract_iters_default_is_reference_nine(small_mesh):
+    """extract_iters=9 (explicit) must be bit-identical to the default —
+    the reference's fixed iteration count (SoftbodyGPU.js:123) is the
+    parity-preserving default of the PhysicsParams lever."""
+    s_default = run(small_mesh, frames=3)
+    s_nine = run(
+        small_mesh, frames=3,
+        params=ts.PhysicsParams(num_substeps=20, extract_iters=9),
+    )
+    assert np.array_equal(np.asarray(s_default.pos), np.asarray(s_nine.pos))
+
+
+def test_extract_iters_low_stays_stable(small_mesh):
+    """The perf lever (fewer warm-started extractRotation iterations —
+    PhysicsParams.extract_iters) must preserve the solver's invariants:
+    settling on the floor, unit quaternions, shape preservation."""
+    params = ts.PhysicsParams(num_substeps=20, extract_iters=2)
+    state = run(small_mesh, frames=120, params=params)
+    pos = np.asarray(state.pos)
+    vel = np.asarray(state.vel)
+    q = np.asarray(state.quats)
+    assert np.isfinite(pos).all()
+    assert pos[:, 1].min() >= -1e-5
+    assert np.abs(vel).max() < 0.2
+    assert np.abs(np.linalg.norm(q, axis=-1) - 1.0).max() < 1e-4
+
+
+def test_extract_iters_grid_parity(small_mesh):
+    """The iters plumb reaches every polar path identically: generic
+    engine == grid stencil engine at extract_iters=2 (the parity chain
+    holds for non-default iteration counts too)."""
+    from tetsim_tpu.solvers import polar_grid as pg
+
+    params = ts.PhysicsParams(num_substeps=5, extract_iters=2)
+    ctrl = ts.Controls.none()
+    dims = (3, 3, 3)
+    garr = pg.build_grid_arrays(small_mesh, dims)
+    arr = ts.build_arrays(small_mesh)
+    gs = ts.init_state(small_mesh)
+    ss = ts.init_state(small_mesh)
+    gstep = jax.jit(pg.step_frame)
+    sstep = jax.jit(polar.step_frame)
+    for _ in range(10):
+        gs, _ = gstep(gs, garr, params, ctrl)
+        ss, _ = sstep(ss, arr, params, ctrl)
+    d = np.abs(np.asarray(gs.pos) - np.asarray(ss.pos)).max()
+    assert d < 5e-5, d

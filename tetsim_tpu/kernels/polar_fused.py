@@ -169,7 +169,7 @@ def _qrot_table(i, rc_ref, qx, qy, qz, qw, sl=slice(None)):
 
 
 def _make_kernel(num_substeps, rp, rt, K, B, gather_tiles, scatter_tiles,
-                 t_tiles):
+                 t_tiles, extract_iters=9):
     """``t_tiles``: tet-lane CHUNK width in 128-lane tiles.  The solve phase
     (gather -> covariance -> extractRotation -> goal deltas) runs chunk by
     chunk so its temporaries — the dominant VMEM stack cost, ~70 live
@@ -264,7 +264,7 @@ def _make_kernel(num_substeps, rp, rt, K, B, gather_tiles, scatter_tiles,
                     ]
                     for r in range(3)
                 ]
-                ix, iy, iz, iw = _extract_rotation(a)
+                ix, iy, iz, iw = _extract_rotation(a, iters=extract_iters)
                 qx, qy, qz, qw = _qmul(ix, iy, iz, iw, qx, qy, qz, qw)
                 norm = jnp.maximum(
                     jnp.sqrt(qx * qx + qy * qy + qz * qz + qw * qw), 1e-30
@@ -332,7 +332,8 @@ def _make_kernel(num_substeps, rp, rt, K, B, gather_tiles, scatter_tiles,
     return kernel
 
 
-def _pallas_step_call(s, B, b, t_tiles, vmem_limit, num_substeps, interpret):
+def _pallas_step_call(s, B, b, t_tiles, vmem_limit, num_substeps, interpret,
+                      extract_iters=9):
     """Build the frame pallas_call for a batch of B bodies in b-body blocks.
 
     Shared by the single-device step and the shard_map'd data-parallel
@@ -340,6 +341,7 @@ def _pallas_step_call(s, B, b, t_tiles, vmem_limit, num_substeps, interpret):
     kernel = _make_kernel(
         num_substeps, s.rp, s.rt, s.valence, b,
         s.gather_tiles, s.scatter_tiles, t_tiles,
+        extract_iters=extract_iters,
     )
     n_blk = B // b
 
@@ -504,12 +506,15 @@ class FusedPolarBody:
         ).reshape(1, 12).astype(jnp.float32)
 
     @functools.partial(
-        jax.jit, static_argnames=("self", "num_substeps", "interpret")
+        jax.jit,
+        static_argnames=("self", "num_substeps", "interpret", "extract_iters"),
     )
-    def _step(self, state, quats, par, gid, gpos, num_substeps, interpret):
+    def _step(self, state, quats, par, gid, gpos, num_substeps, interpret,
+              extract_iters=9):
         return _pallas_step_call(
             self.sched, self.B, self.B_blk, self.t_tiles,
             self._vmem_limit, num_substeps, interpret,
+            extract_iters=extract_iters,
         )(
             par, gid, gpos, state, quats,
             self._ids, self._inc, self._rc, self._wvol,
@@ -519,11 +524,12 @@ class FusedPolarBody:
     def step(self, params: PhysicsParams, frames: int = 1):
         par = self._params_vec(params)
         step = (
-            self._sharded_step(params.num_substeps)
+            self._sharded_step(params.num_substeps, params.extract_iters)
             if self._shard_cfg is not None
             else functools.partial(
                 self._step,
                 num_substeps=params.num_substeps, interpret=self.interpret,
+                extract_iters=params.extract_iters,
             )
         )
         for _ in range(frames):
@@ -559,13 +565,15 @@ class FusedPolarBody:
             setattr(self, t, jax.device_put(getattr(self, t), rep))
         return self
 
-    def _sharded_step(self, num_substeps: int):
-        if num_substeps in self._sharded_cache:
-            return self._sharded_cache[num_substeps]
+    def _sharded_step(self, num_substeps: int, extract_iters: int = 9):
+        key = (num_substeps, extract_iters)
+        if key in self._sharded_cache:
+            return self._sharded_cache[key]
         mesh, names, b_loc, blk = self._shard_cfg
         call = _pallas_step_call(
             self.sched, b_loc, blk, self.t_tiles,
             self._vmem_limit, num_substeps, self.interpret,
+            extract_iters=extract_iters,
         )
 
         from .schedule import make_body_sharded_step
@@ -578,7 +586,7 @@ class FusedPolarBody:
         def step(state, quats, par, gid, gpos):
             return inner(par, gid, gpos, state, quats, *tables)
 
-        self._sharded_cache[num_substeps] = step
+        self._sharded_cache[key] = step
         return step
 
     # -- views ----------------------------------------------------------------

@@ -294,7 +294,8 @@ def _qrot_rows(i, rc_ref, qx, qy, qz, qw, sl):
     return vx + 2.0 * rx, vy + 2.0 * ry, vz + 2.0 * rz
 
 
-def _make_solve_kernel(rp, rt, K, gather_tiles, scatter_tiles, t_tiles):
+def _make_solve_kernel(rp, rt, K, gather_tiles, scatter_tiles, t_tiles,
+                       extract_iters=9):
     """One polar solve over a block of 8 pieces: corner gather ->
     covariance -> extractRotation -> goal deltas -> LOCAL scatter
     inversion.  Outputs the per-piece partial numerator planes; the
@@ -354,7 +355,7 @@ def _make_solve_kernel(rp, rt, K, gather_tiles, scatter_tiles, t_tiles):
                 [sum(cur[r][k] * rr[k][c] for k in range(4)) for c in range(3)]
                 for r in range(3)
             ]
-            ix, iy, iz, iw = _extract_rotation(a)
+            ix, iy, iz, iw = _extract_rotation(a, iters=extract_iters)
             qx, qy, qz, qw = _qmul(ix, iy, iz, iw, qx, qy, qz, qw)
             norm = jnp.maximum(
                 jnp.sqrt(qx * qx + qy * qy + qz * qz + qw * qw), 1e-30
@@ -394,9 +395,11 @@ def _make_solve_kernel(rp, rt, K, gather_tiles, scatter_tiles, t_tiles):
     return kernel
 
 
-def _solve_call(s: PiecesSchedule, t_tiles: int, interpret: bool):
+def _solve_call(s: PiecesSchedule, t_tiles: int, interpret: bool,
+                extract_iters: int = 9):
     kernel = _make_solve_kernel(
-        s.rp, s.rt, s.valence, s.gather_tiles, s.scatter_tiles, t_tiles
+        s.rp, s.rt, s.valence, s.gather_tiles, s.scatter_tiles, t_tiles,
+        extract_iters=extract_iters,
     )
     n_blk = s.B // 8
 
@@ -602,10 +605,15 @@ def make_pieces_stepper(arr: PiecesArrays, interpret: bool | None = None):
     boundaries, exactly like kernels/polar_stencil.make_frame_stepper)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    call = _solve_call_cached(
-        arr.B, arr.rp, arr.rt, arr.valence,
-        arr.gather_tiles, arr.scatter_tiles, arr.t_tiles, bool(interpret),
-    )
+
+    def _call_for(params: PhysicsParams):
+        # re-resolved per step for the static extract_iters (lru-cached —
+        # repeat steps are a dict hit, matching polar_stencil's pattern)
+        return _solve_call_cached(
+            arr.B, arr.rp, arr.rt, arr.valence,
+            arr.gather_tiles, arr.scatter_tiles, arr.t_tiles,
+            bool(interpret), params.extract_iters,
+        )
 
     def to_local(comp):
         padded = jnp.concatenate([comp, jnp.zeros((1,), comp.dtype)])
@@ -622,6 +630,7 @@ def make_pieces_stepper(arr: PiecesArrays, interpret: bool | None = None):
 
     def step(packed, params: PhysicsParams, controls: Controls):
         dt = params.dt
+        call = _call_for(params)
 
         def body(carry, _):
             carry, _prev = _substep_local(
@@ -690,11 +699,11 @@ def substep(state, arr, params, dt, controls, axis_name=None,
 
 @functools.lru_cache(maxsize=None)
 def _solve_call_cached(B, rp, rt, valence, gather_tiles, scatter_tiles,
-                       t_tiles, interpret):
+                       t_tiles, interpret, extract_iters=9):
     """Cache the pallas_call by STATIC geometry only (no jnp arrays — an
     lru_cache keyed on traced values would leak tracers, CLAUDE.md)."""
     sched = _CallGeom(B, rp, rt, valence, gather_tiles, scatter_tiles)
-    return _solve_call(sched, t_tiles, interpret)
+    return _solve_call(sched, t_tiles, interpret, extract_iters)
 
 
 @dataclasses.dataclass(frozen=True)

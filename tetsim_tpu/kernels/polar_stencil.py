@@ -135,7 +135,8 @@ def _shift_accum(ref, val, base, o, rb, roll):
 
 
 def _make_kernel(geom: _Geometry, corner_slab, rest_centered, interpret,
-                 epilogue: bool = True, n_grabs: int = 1):
+                 epilogue: bool = True, n_grabs: int = 1,
+                 extract_iters: int = 9):
     """``epilogue=False`` builds the SHARDED-path variant: it stops after
     accumulation (acc refs are outputs, not scratch) so the multi-chip
     wrapper can halo-exchange boundary accumulator planes between shards
@@ -224,7 +225,7 @@ def _make_kernel(geom: _Geometry, corner_slab, rest_centered, interpret,
                 [sum(cur[r][k] * rr[k][c] for k in range(4)) for c in range(3)]
                 for r in range(3)
             ]
-            ix, iy, iz, iw = _extract_rotation(a)
+            ix, iy, iz, iw = _extract_rotation(a, iters=extract_iters)
             qx, qy, qz, qw = _qmul(ix, iy, iz, iw, qx, qy, qz, qw)
             norm = jnp.maximum(
                 jnp.sqrt(qx * qx + qy * qy + qz * qz + qw * qw), 1e-30
@@ -296,7 +297,8 @@ def _make_kernel(geom: _Geometry, corner_slab, rest_centered, interpret,
 
 @functools.lru_cache(maxsize=16)
 def _build_call(dims, slab_offsets, corner_slab, rest_centered, rest_volume,
-                interpret: bool, epilogue: bool, n_grabs: int = 1):
+                interpret: bool, epilogue: bool, n_grabs: int = 1,
+                extract_iters: int = 9):
     """Build the per-substep pallas_call + packed static mask for `dims`.
 
     ``epilogue=True`` (single-chip form): accumulators are scratch, the
@@ -309,7 +311,7 @@ def _build_call(dims, slab_offsets, corner_slab, rest_centered, rest_volume,
     geom = _Geometry(dims, slab_offsets, rest_volume)
     kernel = _make_kernel(
         geom, corner_slab, rest_centered, interpret, epilogue=epilogue,
-        n_grabs=n_grabs,
+        n_grabs=n_grabs, extract_iters=extract_iters,
     )
     rows, rb, nb, qrows = geom.rows, geom.rb, geom.nb, geom.qrows
 
@@ -349,12 +351,12 @@ def _build_call(dims, slab_offsets, corner_slab, rest_centered, rest_volume,
     return geom, call, geom.wmask(rest_volume)
 
 
-def _make_call(*key, n_grabs: int = 1):
-    return _build_call(*key, True, n_grabs)
+def _make_call(*key, n_grabs: int = 1, extract_iters: int = 9):
+    return _build_call(*key, True, n_grabs, extract_iters)
 
 
-def _make_call_acc(*key, n_grabs: int = 1):
-    return _build_call(*key, False, n_grabs)
+def _make_call_acc(*key, n_grabs: int = 1, extract_iters: int = 9):
+    return _build_call(*key, False, n_grabs, extract_iters)
 
 
 def _geometry_key(arr: GridArrays):
@@ -479,7 +481,8 @@ def make_frame_stepper(arr: GridArrays, interpret: bool | None = None):
     def step(packed, params: PhysicsParams, controls: Controls):
         gid, gpos = norm_grabs(controls)  # [G], [G,3] multi-slot grabs
         _, callg, _ = _make_call(
-            *_geometry_key(arr), bool(interpret), n_grabs=gid.shape[0]
+            *_geometry_key(arr), bool(interpret), n_grabs=gid.shape[0],
+            extract_iters=params.extract_iters,
         )
         dt = params.dt
         par = jnp.stack(
@@ -656,11 +659,11 @@ def make_grid_sharded_stepper(mesh, garr: GridArrays, axis: str = "x",
         f = f.at[lx * gyz : nv_loc].add(fr).at[0:gyz].add(fl)
         return f.reshape(rows, _LANES)
 
-    def _make_shard_body(num_substeps, n_grabs):
+    def _make_shard_body(num_substeps, n_grabs, extract_iters=9):
         _, callg, _ = _make_call_acc(
             (lx, ny, nz), garr.slab_offsets, garr.corner_slab,
             garr.rest_centered, garr.rest_volume, bool(interpret),
-            n_grabs=n_grabs,
+            n_grabs=n_grabs, extract_iters=extract_iters,
         )
 
         def shard_body(p, pp, quats, movw, invden, par, gid, gpos):
@@ -714,11 +717,14 @@ def make_grid_sharded_stepper(mesh, garr: GridArrays, axis: str = "x",
 
         return shard_body
 
-    @functools.partial(jax.jit, static_argnames=("num_substeps",))
-    def _sharded(packed, par, gid, gpos, movw, invden, num_substeps):
+    @functools.partial(
+        jax.jit, static_argnames=("num_substeps", "extract_iters")
+    )
+    def _sharded(packed, par, gid, gpos, movw, invden, num_substeps,
+                 extract_iters=9):
         p, pp, quats = packed
         fn = jax.shard_map(
-            _make_shard_body(num_substeps, gid.shape[1]),
+            _make_shard_body(num_substeps, gid.shape[1], extract_iters),
             mesh=mesh,
             in_specs=(
                 (spec,) * 3, (spec,) * 3, qspec, spec, spec, P(), P(), P(),
@@ -744,7 +750,8 @@ def make_grid_sharded_stepper(mesh, garr: GridArrays, axis: str = "x",
         ).reshape(1, 9).astype(jnp.float32)
         gid = gid.reshape(1, -1)
         out = _sharded(
-            packed, par, gid, gpos, movw_g, invden_g, params.num_substeps
+            packed, par, gid, gpos, movw_g, invden_g, params.num_substeps,
+            params.extract_iters,
         )
         if mesh.devices.flat[0].platform == "cpu":
             # serialize dispatch on the CPU test backend (XLA-CPU's

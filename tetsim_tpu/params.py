@@ -42,6 +42,16 @@ class PhysicsParams:
     # Static: length of the substep loop inside one jitted frame step.
     # Reference defaults: 5 (CPU solver) / 20 (GPU solver), main.js:26.
     num_substeps: int = struct.field(pytree_node=False, default=5)
+    # Static: Mueller extractRotation iterations in the polar solvers.
+    # The reference runs a fixed 9 with a per-thread early-out
+    # (SoftbodyGPU.js:123-137); TPU lanes run in lockstep so every lane
+    # pays the full count — the default 9 preserves reference parity, and
+    # lowering it (the solve is warm-started: each substep extracts only
+    # the small residual rotation against the last-rotated rest pose) is
+    # the measured perf lever for polar-path kernels, which sit on the
+    # extractRotation VPU floor (scripts/roofline.py).  Changing it
+    # retraces/recompiles, like num_substeps.
+    extract_iters: int = struct.field(pytree_node=False, default=9)
 
     @property
     def dt(self):

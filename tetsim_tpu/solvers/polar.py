@@ -83,12 +83,14 @@ def quat_to_mat(q):
     )
 
 
-def extract_rotation(a, q0):
+def extract_rotation(a, q0, iters=_EXTRACT_ITERS):
     """Müller et al., 'A Robust Method to Extract the Rotational Part of
     Deformations': iteratively rotate q toward the covariance a [...,3,3].
 
     The reference breaks out early when the angular step is tiny
     (SoftbodyGPU.js:135); on TPU we run all iterations with a masked update.
+    ``iters`` (static) defaults to the reference's fixed 9; see
+    PhysicsParams.extract_iters for when fewer is sound.
     """
 
     def body(_, q):
@@ -107,10 +109,11 @@ def extract_rotation(a, q0):
         q_new = quat_mul(dq, q)
         return jnp.where(live[..., None], q_new, q)
 
-    return jax.lax.fori_loop(0, _EXTRACT_ITERS, body, q0, unroll=True)
+    return jax.lax.fori_loop(0, iters, body, q0, unroll=True)
 
 
-def solve_shape_match(pos, quats, arr: TetArrays, axis_name=None):
+def solve_shape_match(pos, quats, arr: TetArrays, axis_name=None,
+                      iters=_EXTRACT_ITERS):
     """One Jacobi shape-matching iteration: returns (new pos, new quats).
 
     When ``axis_name`` is given the tet arrays are a local shard of a mesh
@@ -134,7 +137,7 @@ def solve_shape_match(pos, quats, arr: TetArrays, axis_name=None):
     a = mat3.outer_sum(pc, rest_rot)
 
     identity = jnp.zeros_like(quats).at[..., 3].set(1.0)
-    inc = extract_rotation(a, identity)
+    inc = extract_rotation(a, identity, iters=iters)
     quats = quat_normalize(quat_mul(inc, quats))
 
     # goal corner = rotate(rest_centered, quat) + centroid; since the goal's
@@ -190,7 +193,10 @@ def substep(
     pos, prev_pos, vel = common.predict(
         state.pos, state.vel, dt, params, inv_mass=arr.inv_mass
     )
-    pos, quats = solve_shape_match(pos, state.quats, arr, axis_name=axis_name)
+    pos, quats = solve_shape_match(
+        pos, state.quats, arr, axis_name=axis_name,
+        iters=params.extract_iters,
+    )
     pos = common.collide(pos, prev_pos, dt, params)
     pos = common.apply_grab(pos, controls)
     vel = common.velocity_update(pos, prev_pos, dt)

@@ -281,7 +281,8 @@ def _cube_valid_mask(g: GridArrays):
     return jnp.where((j < ny) & (k < nz), 1.0, 0.0).astype(jnp.float32)
 
 
-def _solve(fx, fy, fz, quats, g: GridArrays, halo=None):
+def _solve(fx, fy, fz, quats, g: GridArrays, halo=None,
+           iters=_EXTRACT_ITERS):
     """One Jacobi shape-matching iteration on flat padded component state.
 
     fx/fy/fz: [Nv + gyz] (one phantom x-plane of tail padding).
@@ -327,7 +328,7 @@ def _solve(fx, fy, fz, quats, g: GridArrays, halo=None):
             [sum(cur[r][k] * rr[k][c] for k in range(4)) for c in range(3)]
             for r in range(3)
         ]
-        ix, iy, iz, iw = _extract_rotation(a)
+        ix, iy, iz, iw = _extract_rotation(a, iters=iters)
         qx, qy, qz, qw = _qmul(ix, iy, iz, iw, qx, qy, qz, qw)
         # the max() only bites on zero-padded PHANTOM lanes (0/0 would be
         # NaN, and NaN*mask stays NaN); real lanes have norm ~1, so this is
@@ -384,7 +385,9 @@ def _substep(
     ppx, ppy, ppz = px, py, pz
     px, py, pz = px + vx * dt, py + vy * dt, pz + vz * dt
 
-    px, py, pz, quats = _solve(px, py, pz, quats, g, halo=halo)
+    px, py, pz, quats = _solve(
+        px, py, pz, quats, g, halo=halo, iters=params.extract_iters
+    )
 
     # collide (common.collide semantics)
     px = jnp.clip(px, params.world_min[0], params.world_max[0])
