@@ -94,6 +94,12 @@ def test_grab_miss(server):
 def test_params_and_reset(server):
     _post(server.port, "/params", {"gravity": -1.0})
     assert float(server.world.params.gravity) == -1.0
+    # static fields must land as python ints, not f32 leaves (trace keys)
+    _post(server.port, "/params", {"num_substeps": 4, "extract_iters": 2})
+    assert server.world.params.num_substeps == 4
+    assert server.world.params.extract_iters == 2
+    assert type(server.world.params.extract_iters) is int
+    _post(server.port, "/params", {"num_substeps": 5, "extract_iters": 9})
     with pytest.raises(urllib.error.HTTPError):
         _post(server.port, "/params", {"not_a_param": 1})
     _post(server.port, "/params", {"gravity": -9.81})

@@ -455,7 +455,9 @@ class ViewerServer:
             p = self.world.params
             fields = {}
             for k, v in updates.items():
-                if k == "num_substeps":
+                if k in ("num_substeps", "extract_iters"):
+                    # static fields: python ints (a float32 leaf here would
+                    # poison the step functions' static trace keys)
                     fields[k] = int(v)
                 elif k in ("world_min", "world_max"):
                     fields[k] = jnp.asarray(v, jnp.float32)
