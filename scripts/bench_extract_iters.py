@@ -12,6 +12,9 @@ scan fit, min-of-reps — BENCHNOTES methodology), plus a 120-frame settle
 check per count so speed claims never outrun stability.
 
 Usage: python scripts/bench_extract_iters.py [n=56] [iters,iters,...]
+       python scripts/bench_extract_iters.py dragon [iters,...]   # the
+       reference GPU config (polar, 20 substeps/frame) through the fused
+       unstructured kernel (kernels/polar_fused.FusedPolarBody, 8 bodies)
 """
 import json
 import sys
@@ -20,21 +23,10 @@ import time
 import numpy as np
 
 
-def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 56
-    iters_list = (
-        [int(x) for x in sys.argv[2].split(",")]
-        if len(sys.argv) > 2
-        else [9, 4, 2, 1]
-    )
+def _enable_cache():
+    import os
 
     import jax
-    import tetsim_tpu as ts
-    from tetsim_tpu.solvers.polar_grid import build_grid_arrays
-    from tetsim_tpu.kernels.polar_stencil import make_frame_stepper
-
-    # persistent compile cache (bench.py pattern)
-    import os
 
     try:
         cache = os.path.join(
@@ -47,6 +39,74 @@ def main():
         jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:
         pass
+
+
+def bench_dragon(iters_list):
+    """Dragon, polar, 20 substeps/frame (the reference GPU solver config,
+    main.js:26) through the fused VMEM kernel, 8 bodies/kernel — reports
+    per-body substeps/s per extract_iters count (two-point, min-of-reps)."""
+    import time
+
+    import jax
+    import tetsim_tpu as ts
+    from tetsim_tpu.kernels.polar_fused import FusedPolarBody
+
+    _enable_cache()
+    mesh = ts.load_dragon()
+    body = FusedPolarBody(mesh, num_bodies=8, interpret=False)
+    out = {"metric": "dragon_polar_fused_extract_iters"}
+    for it in iters_list:
+        params = ts.PhysicsParams(num_substeps=20, extract_iters=it)
+        k1, k2 = 50, 250
+
+        def timed(K, reps=3):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                body.step(params, frames=K)
+                chk = float(np.asarray(body.state).sum())
+                best = min(best, time.perf_counter() - t0)
+            assert np.isfinite(chk), "non-finite state"
+            return best
+
+        timed(k1, reps=1)
+        timed(k2, reps=1)
+        per_frame = (timed(k2) - timed(k1)) / (k2 - k1)
+        rate = params.num_substeps / per_frame
+        out[f"iters_{it}_substeps_per_sec_per_body"] = round(rate, 1)
+        print(f"dragon iters={it}: {per_frame*1e3:.3f} ms/frame -> "
+              f"{rate:,.0f} substeps/s/body", file=sys.stderr, flush=True)
+    base = out.get("iters_9_substeps_per_sec_per_body")
+    if base:
+        for it in iters_list:
+            k = f"iters_{it}_substeps_per_sec_per_body"
+            if it != 9 and k in out:
+                out[f"iters_{it}_speedup_x"] = round(out[k] / base, 2)
+    print(json.dumps(out))
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "dragon":
+        iters_list = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [9, 4, 2, 1]
+        )
+        bench_dragon(iters_list)
+        return
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 56
+    iters_list = (
+        [int(x) for x in sys.argv[2].split(",")]
+        if len(sys.argv) > 2
+        else [9, 4, 2, 1]
+    )
+
+    import jax
+    import tetsim_tpu as ts
+    from tetsim_tpu.solvers.polar_grid import build_grid_arrays
+    from tetsim_tpu.kernels.polar_stencil import make_frame_stepper
+
+    _enable_cache()
 
     mesh = ts.grid_mesh(n, n, n, cell=0.02, origin=(-n * 0.01, 0.5, -n * 0.01))
     garr = build_grid_arrays(mesh, (n, n, n))
