@@ -91,6 +91,18 @@ def test_grab_miss(server):
     assert out["grabbed"] == -1
 
 
+def test_grab_missing_ray_is_clean_400(server):
+    # a start/move without origin+dir must 400 with a readable message,
+    # not surface a numeric-kernel error from the ray math
+    for msg in ({"action": "start", "origin": [0, 1, 3]},
+                {"action": "move", "dir": [0, 0, -1]}):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(server.port, "/grab", msg)
+        assert exc.value.code == 400
+        body = json.loads(exc.value.read())
+        assert "origin" in body["error"] and "dir" in body["error"]
+
+
 def test_params_and_reset(server):
     _post(server.port, "/params", {"gravity": -1.0})
     assert float(server.world.params.gravity) == -1.0

@@ -396,6 +396,10 @@ class ViewerServer:
         Actions mutate the target body's controls atomically between frames;
         the solver then enforces pos[grab_id] = grab_pos every substep
         exactly like the reference (Softbody.js:233-235)."""
+        if action in ("start", "move") and (origin is None or direction is None):
+            raise ValueError(
+                f"grab {action!r} needs 'origin' and 'dir' (3-vectors)"
+            )
         if action == "start":
             o = np.asarray(origin, np.float32)
             d = np.asarray(direction, np.float32)
