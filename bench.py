@@ -48,6 +48,11 @@ def _device_canary(budget_s: float | None = None):
 
     if budget_s is None:
         budget_s = float(os.environ.get("TETSIM_CANARY_BUDGET_S", "900"))
+    # A hard plugin-init FAILURE (as opposed to a hang) makes JAX fall
+    # back to CPU silently; without the platform check the canary would
+    # pass and the bench would emit CPU numbers as the chip's snapshot.
+    # CPU-only development runs opt in with TETSIM_CANARY_ALLOW_CPU=1.
+    allow_cpu = os.environ.get("TETSIM_CANARY_ALLOW_CPU", "") == "1"
     probe_src = (
         "import threading, sys\n"
         "out = {}\n"
@@ -60,6 +65,9 @@ def _device_canary(budget_s: float | None = None):
         "        out['err'] = f'{type(e).__name__}: {e}'[:300]\n"
         "t = threading.Thread(target=p, daemon=True)\n"
         "t.start(); t.join(120)\n"
+        f"if out.get('ok') and out['plat'] == 'cpu' and not {allow_cpu}:\n"
+        "    print('ERR accelerator init failed, JAX fell back to cpu "
+        "(set TETSIM_CANARY_ALLOW_CPU=1 for CPU runs)'); sys.exit(1)\n"
         "if out.get('ok'): print('OK', out['plat']); sys.exit(0)\n"
         "if 'err' in out: print('ERR', out['err']); sys.exit(1)\n"
         "print('HUNG: relay wedged (probe alive at 120 s)'); sys.exit(2)\n"

@@ -237,3 +237,31 @@ def test_nh_grid_slab_sharded_color_scan_matches_unsharded():
     out = nhg.nh_unprepare(slab, arr, d, params)
     err = float(np.abs(np.asarray(out.pos) - np.asarray(ref.pos)).max())
     assert err < 2e-5, f"color_scan slab-sharded vs unsharded drift {err}"
+
+
+def test_nh_sharded_exe_cache_keys_controls_shape():
+    """The compiler_options executable cache must key on the controls
+    shape: round-4 review found a num_substeps-only key served a stale
+    scalar-grab executable after a vector-grab call (and vice versa),
+    a path newly reachable since vector grabs landed."""
+    from tetsim_tpu.solvers import neohookean_grid as nhg
+
+    d = 2
+    devs = np.array(jax.devices()[:d])
+    mesh = Mesh(devs, ("x",))
+    dims = (4, 2, 2)
+    gm = ts.grid_mesh(*dims, cell=0.25, origin=(0.0, 0.5, 0.0))
+    arr = nhg.build_nh_grid_arrays(gm, dims)
+    params = ts.PhysicsParams(num_substeps=2)
+    o0 = {"xla_backend_optimization_level": "0"}
+    sharded = nhg.make_nh_sharded_step(mesh, arr, "x", compiler_options=o0,
+                                       color_scan=True)
+    slab = nhg.nh_prepare(ts.init_state(gm), arr, d)
+    slab, _ = sharded(slab, params, ts.Controls.none())
+    vec = ts.Controls(
+        grab_id=np.array([0, gm.num_particles - 1], np.int32),
+        grab_pos=np.array([[0.0, 1.0, 0.0], [0.8, 1.1, 0.3]], np.float32),
+    )
+    slab, _ = sharded(slab, params, vec)  # was: stale-executable TypeError
+    out = nhg.nh_unprepare(slab, arr, d, params)
+    assert np.isfinite(np.asarray(out.pos)).all()

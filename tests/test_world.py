@@ -327,6 +327,17 @@ def test_grid_body_batch_neohookean_color_scan():
     assert np.isfinite(pos).all()
 
 
+def test_grid_body_batch_diagnostics():
+    """World.diagnostics() must cover GridBodyBatch scenes (round-4 review:
+    the generic branch read .state, which the batch does not have)."""
+    world = ts.World(ts.PhysicsParams(num_substeps=2))
+    world.add_grid_body_batch((2, 2, 2), 2, cell=0.25, engine="polar_grid")
+    world.step()
+    d = world.diagnostics()["body0"]
+    assert d["batch"] == 2 and not d["nan"]
+    assert np.isfinite(d["min_height"]) and np.isfinite(d["max_speed"])
+
+
 def test_multi_grab_single_grid_body():
     """The stencil engines accept the vector multi-slot grab form directly
     (common.norm_grabs): two simultaneous grabs on ONE body both pin."""

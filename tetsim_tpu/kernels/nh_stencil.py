@@ -878,7 +878,12 @@ def make_nh_sharded_stepper(mesh, arr: NHGridArrays, axis: str = "x",
         cache = {}
 
         def step_inner(packed, params, controls):
-            key = params.num_substeps
+            # full retrace key: static fields live in the treedef, grab-slot
+            # width in the leaf shapes (round-4 review: num_substeps alone
+            # served a stale executable after a controls-shape change)
+            leaves, treedef = jax.tree.flatten((params, controls))
+            key = (treedef,
+                   tuple((jnp.shape(l), jnp.result_type(l)) for l in leaves))
             if key not in cache:
                 cache[key] = _step_jit.lower(
                     packed, params, controls

@@ -835,7 +835,13 @@ def make_nh_sharded_step(mesh, arr: NHGridArrays, axis: str = "x",
         cache = {}
 
         def sharded(slab, params, controls):
-            key = params.num_substeps
+            # full retrace key: static fields live in the treedef (e.g.
+            # num_substeps), grab-slot width in the leaf shapes — keying
+            # on num_substeps alone returned a stale executable when the
+            # controls batch shape changed (round-4 review finding)
+            leaves, treedef = jax.tree.flatten((params, controls))
+            key = (treedef,
+                   tuple((jnp.shape(l), jnp.result_type(l)) for l in leaves))
             if key not in cache:
                 cache[key] = _sharded_jit.lower(
                     slab, params, controls

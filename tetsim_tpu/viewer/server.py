@@ -82,7 +82,7 @@ class _View:
         self._grab_sub = None  # sub-body index of an active grab (batches)
         self._grab_pid = None  # host-side mirror of the active grab id
         self._packed_grid = False
-        from ..world import PackedGridBody
+        from ..world import GridBodyBatch, PackedGridBody
 
         if isinstance(body, (Body, PackedGridBody)):
             # PackedGridBody mirrors Body's controls/grab API; only the
@@ -99,7 +99,7 @@ class _View:
                     self.surface.skin_ids, self.surface.skin_w,
                     self.surface.tris,
                 )
-        elif isinstance(body, BatchedBody) or type(body).__name__ == "GridBodyBatch":
+        elif isinstance(body, (BatchedBody, GridBodyBatch)):
             # GridBodyBatch mirrors BatchedBody's contract (states with a
             # leading body axis instead of a flat mesh — reshape covers it)
             self.kind = "batched"

@@ -1004,7 +1004,7 @@ class World:
                     "max_speed": float(np.linalg.norm(vel, axis=-1).max()),
                     "nan": bool(np.isnan(pos).any()),
                 }
-            elif isinstance(b, BatchedBody):
+            elif isinstance(b, (BatchedBody, GridBodyBatch)):
                 pos = b.positions
                 vel = np.asarray(b.states.vel)
                 out[f"body{i}"] = {
