@@ -343,3 +343,50 @@ def test_grid_batch_grab_routes_to_owning_body(grid_batch_server):
     out = _post(srv.port, "/grab", {"action": "end"})
     assert out["grabbed"] == -1
     assert int(batch.controls.grab_id[1]) == -1
+
+
+def test_sim_error_surfaces_to_client():
+    """A sim-thread exception must not freeze the viewer silently: the
+    thread halts, and every subsequent /state header and /diag response
+    carries a one-line error for the client's red overlay (reference
+    parity: errors render as <div>s over the viewport, main.js:98-108)."""
+    world = ts.World(ts.PhysicsParams(num_substeps=2))
+    world.add_body(ts.load_dragon(), engine="polar")
+    srv = ViewerServer(world, port=0, fps=30.0).start()
+    try:
+        import time
+
+        time.sleep(0.3)  # let a few good frames land in the cache
+        hdr, payload = _split_blob(_get(srv.port, "/state"))
+        assert "error" not in hdr
+
+        def boom(*a, **k):
+            raise RuntimeError("injected solver failure")
+
+        srv.views[0].body.step = boom
+        srv.views[0].body.step_many = boom
+        srv._sim_thread.join(timeout=10)
+        assert not srv._sim_thread.is_alive(), "sim thread should halt"
+        assert "injected solver failure" in srv.sim_error
+
+        hdr2, payload2 = _split_blob(_get(srv.port, "/state"))
+        assert "injected solver failure" in hdr2["error"]
+        # payload stays a well-formed last-good frame, still 4-byte aligned
+        assert len(payload2) == len(payload)
+        assert (_get(srv.port, "/state").index(b"\n") + 1) % 4 == 0
+        diag = json.loads(_get(srv.port, "/diag"))
+        assert "injected solver failure" in diag["error"]
+    finally:
+        srv.stop()
+
+
+def test_patch_blob_error_roundtrip():
+    from tetsim_tpu.viewer.server import _pad_header, _patch_blob_error
+
+    payload = np.arange(6, dtype="<f4").tobytes()
+    blob = _pad_header(json.dumps({"frame": 7}).encode()) + payload
+    out = _patch_blob_error(blob, "boom")
+    hdr, rest = _split_blob(out)
+    assert hdr == {"frame": 7, "error": "boom"}
+    assert rest == payload
+    assert (out.index(b"\n") + 1) % 4 == 0

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -56,6 +57,19 @@ def _pad_header(hdr: bytes) -> bytes:
     total = len(hdr) + 1  # + newline
     pad = (-total) % 4
     return hdr + b" " * pad + b"\n"
+
+
+def _patch_blob_error(blob: bytes, err: str) -> bytes:
+    """Inject an ``error`` field into an already-assembled state blob's
+    JSON header, re-padding so the binary payload stays 4-byte aligned.
+    Used when the sim thread dies and the device may no longer answer —
+    the last good frame keeps serving, now carrying the error for the
+    client's overlay (the reference surfaces errors as red text over the
+    viewport, main.js:98-108)."""
+    nl = blob.index(b"\n")
+    diag = json.loads(blob[:nl])
+    diag["error"] = err
+    return _pad_header(json.dumps(diag).encode()) + blob[nl + 1 :]
 
 
 @jax.jit
@@ -260,6 +274,7 @@ class ViewerServer:
         self._sim_thread = None
         self._cached_state: bytes | None = None
         self._httpd = None
+        self.sim_error: str | None = None  # set once if the sim thread dies
 
         self._n_vis = sum(v.n_vis for v in self.views)
         # only particle buffers the client actually draws are streamed
@@ -361,6 +376,8 @@ class ViewerServer:
             "step_ms": round(self.last_step_ms, 3),
             "grabbed": grabbed,
         }
+        if self.sim_error is not None:
+            diag["error"] = self.sim_error
         return diag, exports
 
     @staticmethod
@@ -502,12 +519,16 @@ class ViewerServer:
         pending = None  # last iteration's device export, transfer in flight
         while not self._stop.is_set():
             t0 = time.perf_counter()
-            with self._lock:
-                vns = self._step_world(batch)
-                step_s = time.perf_counter() - t0
-                self.frame += batch
-                # dispatch this frame's export (async) under the lock...
-                export = self._export_device(precomputed=vns)
+            try:
+                with self._lock:
+                    vns = self._step_world(batch)
+                    step_s = time.perf_counter() - t0
+                    self.frame += batch
+                    # dispatch this frame's export (async) under the lock...
+                    export = self._export_device(precomputed=vns)
+            except Exception as e:  # noqa: BLE001 — sim thread must not die silently
+                self._record_sim_error(e, pending)
+                return
             # ...then assemble the PREVIOUS frame's blob while this
             # frame's step + export run on device: the blocking transfer
             # overlaps compute instead of serializing with it (one frame
@@ -542,6 +563,33 @@ class ViewerServer:
         if pending is not None:  # flush so /state never sees a stale cache
             self._cached_state = self._assemble_blob(*pending)
 
+    def _record_sim_error(self, e: Exception, pending):
+        """The sim thread is about to exit on an exception: log the full
+        traceback server-side, and make sure every subsequent /state and
+        /diag response carries a one-line error so the client can overlay
+        it (reference behavior: errors render as red <div>s over the
+        viewport, main.js:98-108, instead of a silent freeze)."""
+        import traceback
+
+        traceback.print_exc()
+        self.sim_error = f"{type(e).__name__}: {e}"[:500]
+        print(f"viewer sim thread halted: {self.sim_error}",
+              file=sys.stderr, flush=True)
+        # Prefer finishing the in-flight frame (transfers were already
+        # dispatched); if the device itself is broken, fall back to
+        # patching the last good blob's header host-side only.
+        if pending is not None:
+            try:
+                pending[0]["error"] = self.sim_error
+                self._cached_state = self._assemble_blob(*pending)
+                return
+            except Exception:
+                pass
+        if self._cached_state is not None:
+            self._cached_state = _patch_blob_error(
+                self._cached_state, self.sim_error
+            )
+
     # -- http ----------------------------------------------------------------
     def _make_handler(self):
         server = self
@@ -570,8 +618,10 @@ class ViewerServer:
                         200, server._cached_state or server.state_blob()
                     )
                 elif self.path == "/diag":
-                    body = json.dumps(server.world.diagnostics()).encode()
-                    self._send(200, body, "application/json")
+                    d = server.world.diagnostics()
+                    if server.sim_error is not None:
+                        d = dict(d, error=server.sim_error)
+                    self._send(200, json.dumps(d).encode(), "application/json")
                 else:
                     self._send(404, b"not found", "text/plain")
 
