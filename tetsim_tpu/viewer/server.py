@@ -526,16 +526,16 @@ class ViewerServer:
                     self.frame += batch
                     # dispatch this frame's export (async) under the lock...
                     export = self._export_device(precomputed=vns)
+                # ...then assemble the PREVIOUS frame's blob while this
+                # frame's step + export run on device: the blocking transfer
+                # overlaps compute instead of serializing with it (one frame
+                # of visual latency, ~2x the state refresh rate through the
+                # ~35 ms-round-trip relay)
+                if pending is not None:
+                    self._cached_state = self._assemble_blob(*pending)
             except Exception as e:  # noqa: BLE001 — sim thread must not die silently
                 self._record_sim_error(e, pending)
                 return
-            # ...then assemble the PREVIOUS frame's blob while this
-            # frame's step + export run on device: the blocking transfer
-            # overlaps compute instead of serializing with it (one frame
-            # of visual latency, ~2x the state refresh rate through the
-            # ~35 ms-round-trip relay)
-            if pending is not None:
-                self._cached_state = self._assemble_blob(*pending)
             pending = export
             dt_wall = time.perf_counter() - t0
             # HUD metric: the step alone — dt_wall also covers the export
