@@ -27,7 +27,7 @@ def main():
     from tetsim_tpu.solvers import get_engine
 
     t0 = time.perf_counter()
-    if engine.startswith("polar_pieces"):
+    if engine.startswith(("polar_pieces", "nh_pieces")):
         # the single-connected-UNSTRUCTURED-mesh workload (an irregular
         # blob, no exploitable grid stencil): n=68 -> ~987k tets
         mesh = ts.ellipsoid_mesh(
@@ -59,6 +59,17 @@ def main():
             f"dup={arr.B*arr.rp/mesh.num_particles:.2f}x lanes)",
             file=sys.stderr,
         )
+    elif engine.startswith("nh_pieces"):
+        from tetsim_tpu.kernels.nh_pieces import build_nh_pieces_arrays
+
+        tpp = int(os.environ.get("TETSIM_TETS_PER_PIECE", "2048"))
+        arr = build_nh_pieces_arrays(mesh, tets_per_piece=tpp)
+        print(
+            f"nh pieces: {arr.B} (rp={arr.rp}, l_max={arr.l_max}, "
+            f"shared={int((arr.lane_bnd >= 0).sum())}, "
+            f"dup={arr.B*arr.rp/mesh.num_particles:.2f}x lanes)",
+            file=sys.stderr,
+        )
     else:
         coloring = None if engine == "polar" else "greedy"
         arr = ts.build_arrays(mesh, coloring=coloring)
@@ -76,6 +87,12 @@ def main():
             from tetsim_tpu.kernels.polar_pieces import make_pieces_stepper
 
             pack, step_packed, unpack, _ = make_pieces_stepper(
+                arr, interpret=False
+            )
+        elif engine.startswith("nh_pieces"):
+            from tetsim_tpu.kernels.nh_pieces import make_nh_pieces_stepper
+
+            pack, step_packed, unpack, _ = make_nh_pieces_stepper(
                 arr, interpret=False
             )
         elif engine.startswith("neohookean_grid_pallas"):
@@ -131,7 +148,9 @@ def main():
     k1, k2 = (
         (50, 400) if engine.startswith(("polar_grid",
                                         "neohookean_grid_pallas"))
-        else (20, 120) if engine in ("neohookean_grid", "polar_pieces")
+        else (20, 120) if engine.startswith(
+            ("neohookean_grid", "polar_pieces", "nh_pieces")
+        )
         else (3, 15)
     )
     run1, run2 = make_runner(k1), make_runner(k2)

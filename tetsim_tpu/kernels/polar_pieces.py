@@ -119,30 +119,19 @@ def _rcm_particle_order(tets: np.ndarray, n: int) -> np.ndarray:
     return np.asarray(reverse_cuthill_mckee(g, symmetric_mode=True))
 
 
-def build_pieces_schedule(
-    mesh: TetMesh,
-    density: float = 1000.0,
-    tets_per_piece: int = 2048,
-    pinned=None,
-) -> PiecesSchedule:
-    _, _, vol, im, rc = rest_state(mesh, density, pinned=pinned)
-    tets = mesh.tets
-    n, m = mesh.num_particles, mesh.num_tets
+def rcb_partition(mesh: TetMesh, tets_per_piece: int):
+    """COMPACT tet pieces via recursive coordinate bisection of centroids.
 
-    order = _rcm_particle_order(tets, n)
-    rank = np.empty(n, np.int64)
-    rank[order] = np.arange(n)
-    # COMPACT pieces via recursive coordinate bisection of tet centroids.
-    # (A contiguous range of any 1-D order is the wrong partition for a 3-D
-    # mesh: its particle set includes the whole O(M^(2/3)) front on both
-    # ends — measured ~6x duplication at 1M tets.  RCB pieces are blobs
-    # with ~surface/volume duplication, ~1.3-1.6x.)  RCM survives as the
-    # LOCAL particle order, which keeps corner lanes tile-coherent.
-    centroids = mesh.verts[tets].mean(axis=1)
-    # power-of-two piece count: exact halving keeps every piece within one
-    # tet of the same size, so the UNIFORM rt padding wastes nothing (a
-    # ragged split left one piece ~2x the target, doubling every piece's
-    # tables)
+    (A contiguous range of any 1-D order is the wrong partition for a 3-D
+    mesh: its particle set includes the whole O(M^(2/3)) front on both
+    ends — measured ~6x duplication at 1M tets.  RCB pieces are blobs
+    with ~surface/volume duplication, ~1.3-1.6x.)  Power-of-two piece
+    count: exact halving keeps every piece within one tet of the same
+    size, so UNIFORM rt padding wastes nothing (a ragged split left one
+    piece ~2x the target, doubling every piece's tables).  Shared by the
+    polar and Neo-Hookean pieces engines."""
+    m = mesh.num_tets
+    centroids = mesh.verts[mesh.tets].mean(axis=1)
     n_pieces = 1
     while n_pieces * tets_per_piece < m:
         n_pieces *= 2
@@ -156,6 +145,57 @@ def build_pieces_schedule(
             h = len(big) // 2
             nxt += [big[med[:h]], big[med[h:]]]
         parts = nxt
+    return parts, n_pieces
+
+
+def completion_tables(instances, n: int, lanes_total: int):
+    """Boundary-completion tables over COMPACT boundary space, shared by
+    the pieces engines.  Measured gather cost is ~6-12 ns per ROW (not
+    per byte), so the design minimizes gathered rows: boundary particles
+    (>1 instance) are sorted by instance count DESCENDING, each
+    completion tier j then gathers only the prefix [0:C_j) that actually
+    has a j-th instance — total gathered rows = total instances, zero
+    masked waste.  Interior lanes are never touched.
+
+    Returns (owner_inst [n], bnd_inst [Jmax, Sb], tier_counts tuple,
+    lane_bnd [lanes_total])."""
+    owner_inst = np.zeros(n, np.int32)
+    for p in range(n):
+        owner_inst[p] = instances[p][0]
+    bnd = [p for p in range(n) if len(instances[p]) > 1]
+    bnd.sort(key=lambda p: -len(instances[p]))
+    sb = len(bnd)
+    jmax = max((len(instances[p]) for p in bnd), default=0)
+    bnd_inst = np.zeros((max(jmax, 1), max(sb, 1)), np.int32)
+    tier_counts = []
+    for j in range(jmax):
+        c = sum(1 for p in bnd if len(instances[p]) > j)
+        tier_counts.append(c)
+        for i in range(c):
+            bnd_inst[j, i] = instances[bnd[i]][j]
+    lane_bnd = np.full(lanes_total, -1, np.int32)
+    for i, p in enumerate(bnd):
+        for inst in instances[p]:
+            lane_bnd[inst] = i
+    return owner_inst, bnd_inst, tuple(tier_counts), lane_bnd
+
+
+def build_pieces_schedule(
+    mesh: TetMesh,
+    density: float = 1000.0,
+    tets_per_piece: int = 2048,
+    pinned=None,
+) -> PiecesSchedule:
+    _, _, vol, im, rc = rest_state(mesh, density, pinned=pinned)
+    tets = mesh.tets
+    n, m = mesh.num_particles, mesh.num_tets
+
+    order = _rcm_particle_order(tets, n)
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n)
+    # RCM survives as the LOCAL particle order, which keeps corner lanes
+    # tile-coherent; the pieces themselves come from RCB (see rcb_partition)
+    parts, n_pieces = rcb_partition(mesh, tets_per_piece)
     b_pad = _round_up(n_pieces, 8)
 
     pieces = []  # (tet_ids global, local_particles global ids sorted by rank)
@@ -213,33 +253,12 @@ def build_pieces_schedule(
         for i, g in enumerate(locals_):
             instances[int(g)].append(p * rp + i)
 
-    # Completion tables, COMPACT boundary space.  Measured gather cost is
-    # ~6-12 ns per row (not per byte), so the design minimizes gathered
-    # ROWS: boundary particles (>1 instance) are sorted by instance count
-    # DESCENDING, each completion tier j then gathers only the prefix
-    # [0:C_j) that actually has a j-th instance — total gathered rows =
-    # total instances, zero masked waste.  Interior lanes are already
-    # complete (all incident tets in-piece) and never touched.
-    owner_inst = np.zeros(n, np.int32)
-    for p in range(n):
-        owner_inst[p] = instances[p][0]
-    bnd = [p for p in range(n) if len(instances[p]) > 1]
-    bnd.sort(key=lambda p: -len(instances[p]))
-    sb = len(bnd)
-    jmax = max((len(instances[p]) for p in bnd), default=0)
-    bnd_inst = np.zeros((max(jmax, 1), max(sb, 1)), np.int32)
-    tier_counts = []
-    for j in range(jmax):
-        c = sum(1 for p in bnd if len(instances[p]) > j)
-        tier_counts.append(c)
-        for i in range(c):
-            bnd_inst[j, i] = instances[bnd[i]][j]
-    # every lane of a boundary particle reads the completed total back
-    # from the compact boundary row; -1 marks interior/padded lanes
-    lane_bnd = np.full(b_pad * rp, -1, np.int32)
-    for i, p in enumerate(bnd):
-        for inst in instances[p]:
-            lane_bnd[inst] = i
+    # Completion tables, COMPACT boundary space (shared helper; every
+    # lane of a boundary particle reads the completed total back from its
+    # compact boundary row; -1 marks interior/padded lanes)
+    owner_inst, bnd_inst, tier_counts, lane_bnd = completion_tables(
+        instances, n, b_pad * rp
+    )
 
     # global scatter denominator + movable mask (polar engine semantics)
     den = np.zeros(n, np.float64)
@@ -266,7 +285,7 @@ def build_pieces_schedule(
         ids=ids, inc=inc, rc=rc12, wvol=wvol,
         g2l=g2l, tet_l2g=tet_l2g, tet_inst=tet_inst,
         owner_inst=owner_inst, bnd_inst=bnd_inst,
-        tier_counts=tuple(tier_counts), lane_bnd=lane_bnd,
+        tier_counts=tier_counts, lane_bnd=lane_bnd,
         invden=invden, movw=movw, inv_mass=np.asarray(im, np.float32),
         num_particles=n, num_tets=m, n_pieces=n_pieces, B=b_pad,
         rp=rp, rt=rt, valence=kmax,

@@ -16,6 +16,11 @@ reference's two-backend structure (SURVEY.md §1 L2):
     state — the reference-fidelity physics at the stencil scale path
   * ``neohookean_grid_pallas`` — the same 48-color sweep fused into ONE
     Pallas kernel per substep (kernels/nh_stencil.py)
+  * ``polar_pieces`` — polar on ONE large unstructured mesh: RCB pieces
+    riding the fused kernel's sublanes (kernels/polar_pieces.py)
+  * ``nh_pieces``  — Neo-Hookean GS on ONE large unstructured mesh:
+    intra-piece colored GS + cross-piece Jacobi boundary completion
+    (kernels/nh_pieces.py)
   * ``golden``     — sequential NumPy oracle for parity tests
 """
 from . import (  # noqa: F401
@@ -35,6 +40,7 @@ _LAZY_ENGINES = {
     "polar_grid_pallas": "tetsim_tpu.kernels.polar_stencil",
     "polar_pieces": "tetsim_tpu.kernels.polar_pieces",
     "neohookean_grid_pallas": "tetsim_tpu.kernels.nh_stencil",
+    "nh_pieces": "tetsim_tpu.kernels.nh_pieces",
 }
 
 

@@ -145,6 +145,13 @@ class Body:
 
             arrays = build_pieces_arrays(mesh, density=density, pinned=pinned)
             pinned = None
+        if engine == "nh_pieces" and arrays is None:
+            from .kernels.nh_pieces import build_nh_pieces_arrays
+
+            arrays = build_nh_pieces_arrays(
+                mesh, density=density, pinned=pinned
+            )
+            pinned = None
         if (
             engine in ("polar_grid", "polar_grid_pallas", "neohookean_grid",
                        "neohookean_grid_pallas")
