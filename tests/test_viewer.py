@@ -390,3 +390,126 @@ def test_patch_blob_error_roundtrip():
     assert hdr == {"frame": 7, "error": "boom"}
     assert rest == payload
     assert (out.index(b"\n") + 1) % 4 == 0
+
+
+def test_error_blob_when_sim_dies_before_first_frame():
+    """A sim thread that dies on its very first iteration (no cached
+    frame yet) must still surface its error through /state and /diag
+    WITHOUT dispatching device work from the HTTP handler — on a broken
+    device/relay that would hang or raise unhandled (ADVICE r4)."""
+    world = ts.World(ts.PhysicsParams(num_substeps=2))
+    world.add_body(ts.load_dragon(), engine="polar")
+    srv = ViewerServer(world, port=0, fps=30.0)
+
+    def boom(*a, **k):
+        raise RuntimeError("first-step failure")
+
+    srv.views[0].body.step = boom
+    srv.start()
+    srv._sim_thread.join(timeout=10)
+    try:
+        assert not srv._sim_thread.is_alive()
+        assert srv._cached_state is None
+
+        hdr, payload = _split_blob(_get(srv.port, "/state"))
+        assert "first-step failure" in hdr["error"]
+        # error-only blob carries the exact expected payload size (zeros)
+        assert len(payload) == 4 * 3 * (2 * srv._n_vis + srv._n_part)
+        assert (_get(srv.port, "/state").index(b"\n") + 1) % 4 == 0
+
+        # /diag must not touch the device either: serve the error directly
+        diag = json.loads(_get(srv.port, "/diag"))
+        assert "first-step failure" in diag["error"]
+    finally:
+        srv.stop()
+
+
+def test_ordered_body_renders_and_grabs():
+    """The fused_ordered backend (OrderedGSBody) is a first-class viewer
+    citizen: its batch renders through /mesh + /state and grab rays route
+    to the owning body's slot (VERDICT r4 missing #2)."""
+    import time
+
+    mesh = ts.grid_mesh(3, 3, 3, cell=0.25, origin=(-0.375, 0.5, -0.375))
+    from tetsim_tpu.mesh import with_boundary_surface
+
+    mesh = with_boundary_surface(mesh)
+    world = ts.World(ts.PhysicsParams(num_substeps=1))
+    body = world.add_body_batch(
+        mesh, 8, engine="neohookean", backend="fused_ordered", jitter=0.05
+    )
+    srv = ViewerServer(world, port=0, fps=20.0).start()
+    try:
+        hdr, _ = _split_blob(_get(srv.port, "/mesh"))
+        s_per = mesh.vis_tet_ids.shape[0]
+        assert hdr["n_vis"] == 8 * s_per
+        assert hdr["n_tris"] == 8 * mesh.tris.shape[0]
+
+        hdr, payload = _split_blob(_get(srv.port, "/state"))
+        verts = np.frombuffer(payload[: 8 * s_per * 12], "<f4")
+        assert np.isfinite(verts).all()
+
+        # grab: aim at the batch centroid (the jittered bodies overlap, so
+        # the hit may land in any body — derive the owner from the flat id)
+        pos = body.positions()  # [8, N, 3]
+        c = pos.reshape(-1, 3).mean(axis=0)
+        origin = c + np.array([0.0, 0.3, 1.5], np.float32)
+        d = (c - origin) / np.linalg.norm(c - origin)
+        out = _post(
+            srv.port, "/grab",
+            {"action": "start", "origin": origin.tolist(), "dir": d.tolist()},
+        )
+        assert out["grabbed"] >= 0
+        owner = out["grabbed"] // mesh.num_particles
+        assert int(body.grab_id[owner, 0]) >= 0, \
+            "grab must land in the owning body's slot"
+        # move and verify the constraint target follows
+        origin2 = origin + np.array([0.0, 0.4, 0.0], np.float32)
+        _post(
+            srv.port, "/grab",
+            {"action": "move", "origin": origin2.tolist(), "dir": d.tolist()},
+        )
+        time.sleep(0.3)
+        _post(srv.port, "/grab", {"action": "end"})
+        assert int(body.grab_id[owner, 0]) == -1
+    finally:
+        srv.stop()
+
+
+def test_rotated_normals_flag():
+    """POST /params {"normals": "rotated"} switches polar-family bodies to
+    the reference GPU path's shading (rest normals rotated by the tet
+    quaternion, SoftbodyGPU.js:424-448); the frame header reports the
+    active mode (VERDICT r4 missing #3)."""
+    import time
+    import urllib.error
+
+    world = ts.World(ts.PhysicsParams(num_substeps=2))
+    world.add_body(ts.load_dragon(), engine="polar")
+    srv = ViewerServer(world, port=0, fps=30.0).start()
+    try:
+        hdr, _ = _split_blob(_get(srv.port, "/state"))
+        assert hdr["normals"] == "smooth"
+
+        _post(srv.port, "/params", {"normals": "rotated"})
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            hdr, payload = _split_blob(_get(srv.port, "/state"))
+            if hdr.get("normals") == "rotated":
+                break
+            time.sleep(0.1)
+        assert hdr["normals"] == "rotated"
+        nrm = np.frombuffer(
+            payload[29800 * 12 : 2 * 29800 * 12], "<f4"
+        ).reshape(-1, 3)
+        assert np.isfinite(nrm).all()
+        # quaternion rotation preserves the rest normals' unit length
+        np.testing.assert_allclose(
+            np.linalg.norm(nrm, axis=-1), 1.0, atol=1e-3
+        )
+
+        with pytest.raises(urllib.error.HTTPError):
+            _post(srv.port, "/params", {"normals": "flat"})
+        _post(srv.port, "/params", {"normals": "smooth"})
+    finally:
+        srv.stop()

@@ -429,11 +429,33 @@ class OrderedGSBody:
             [st[6, :, :n], st[7, :, :n], st[8, :, :n]], axis=-1
         )
 
+    def _check_body(self, body: int):
+        if not 0 <= body < self.num_bodies:
+            raise IndexError(
+                f"body index {body} out of range (batch has {self.num_bodies})"
+            )
+
     def set_grab(self, body: int, particle: int, point):
+        self._check_body(body)
         self.grab_id = self.grab_id.at[body, 0].set(particle)
         self.grab_pos = self.grab_pos.at[body, :3].set(
             jnp.asarray(point, jnp.float32)
         )
 
+    def start_grab(self, body: int, point) -> int:
+        """Grab body's nearest particle to `point` (Softbody.js:279-291)."""
+        self._check_body(body)
+        pos = self.positions()[body]
+        pid = int(np.argmin(np.sum((pos - np.asarray(point)) ** 2, axis=-1)))
+        self.set_grab(body, pid, point)
+        return pid
+
+    def move_grabbed(self, body: int, point):
+        self._check_body(body)
+        self.grab_pos = self.grab_pos.at[body, :3].set(
+            jnp.asarray(point, jnp.float32)
+        )
+
     def end_grab(self, body: int):
+        self._check_body(body)
         self.grab_id = self.grab_id.at[body, 0].set(-1)

@@ -123,16 +123,19 @@ class _View:
             self._state0 = body.states
         else:
             from ..kernels.gs_fused import FusedGSBody
+            from ..kernels.gs_ordered import OrderedGSBody
             from ..kernels.polar_fused import FusedPolarBody
             from ..world import DenseBody
 
-            if not isinstance(body, (FusedGSBody, FusedPolarBody, DenseBody)):
+            if not isinstance(
+                body, (FusedGSBody, OrderedGSBody, FusedPolarBody, DenseBody)
+            ):
                 raise ValueError(
                     f"viewer cannot render body of type {type(body).__name__}"
                 )
             from ..mesh import replicate_mesh
 
-            self.kind = "packed"  # column/sublane-batched: FusedGS or Dense
+            self.kind = "packed"  # column/sublane-batched fused backends
             self._n_per = body.mesh.num_particles
             flat = replicate_mesh(body.mesh, body.num_bodies)
             self.n_particles = flat.num_particles
@@ -181,6 +184,31 @@ class _View:
         return jnp.stack(
             [st[c, : b.num_bodies, :n] for c in range(3)], axis=-1
         ).reshape(-1, 3)
+
+    def quats_device(self):
+        """Per-tet quaternions in this view's flat tet numbering, or None
+        when the body carries no shape-matching rotation state (NH family,
+        or packed layouts whose quats unpack would cost a full layout
+        conversion).  Feeds the rotated-rest-normals export (reference
+        GPU-path shading, SoftbodyGPU.js:424-448)."""
+        b = self.body
+        polar = ("polar", "polar_grid", "polar_pieces")
+        if self.kind == "body":
+            if self._packed_grid:
+                return None
+            return b.state.quats if b.engine in polar else None
+        if self.kind == "batched":
+            if getattr(b, "engine", None) not in polar:
+                return None
+            return b.states.quats.reshape(-1, 4)
+        from ..kernels.polar_fused import FusedPolarBody
+
+        if isinstance(b, FusedPolarBody):
+            n = b.sched.num_tets
+            return jnp.moveaxis(
+                b.quats[:, : b.num_bodies, :n], 0, -1
+            ).reshape(-1, 4)
+        return None
 
     # -- interaction -----------------------------------------------------------
     def grab_start(self, pid: int, point):
@@ -275,6 +303,13 @@ class ViewerServer:
         self._cached_state: bytes | None = None
         self._httpd = None
         self.sim_error: str | None = None  # set once if the sim thread dies
+        self._last_diag: dict | None = None  # last good /diag (error path)
+        # surface shading mode: "smooth" recomputes geometric normals
+        # (reference CPU path, Softbody.js:274); "rotated" rotates rest
+        # normals by each tet's quaternion (reference GPU path,
+        # SoftbodyGPU.js:424-448) — applies to polar-family bodies, others
+        # keep smooth.  Client-settable via POST /params {"normals": ...}.
+        self.normals_mode = "smooth"
 
         self._n_vis = sum(v.n_vis for v in self.views)
         # only particle buffers the client actually draws are streamed
@@ -340,7 +375,7 @@ class ViewerServer:
         ``precomputed``: {view index: [2,S,3] device array} from fused
         step+export dispatches (step_many_export).  Call with the sim
         lock held."""
-        from ..world import _surface_render_data
+        from ..world import _surface_render_data, _surface_render_data_rotated
 
         if precomputed is None:
             precomputed = {}
@@ -353,9 +388,21 @@ class ViewerServer:
             if vn is None or v.streams_particles:
                 pos = v.pos_device()
             if vn is None and v.surface is not None:
-                vn = _surface_render_data(
-                    pos, v.surface.skin_ids, v.surface.skin_w, v.surface.tris
+                quats = (
+                    v.quats_device()
+                    if self.normals_mode == "rotated"
+                    else None
                 )
+                if quats is not None:
+                    vn = _surface_render_data_rotated(
+                        pos, v.surface.skin_ids, v.surface.skin_w,
+                        v.surface.rest_normals, quats, v.surface.vis_tet_ids,
+                    )
+                else:
+                    vn = _surface_render_data(
+                        pos, v.surface.skin_ids, v.surface.skin_w,
+                        v.surface.tris,
+                    )
             # the only per-frame device->host particle transfer; surfaced
             # edge-less bodies skip it entirely (boundary-only streaming)
             parts = pos if v.streams_particles else None
@@ -375,6 +422,7 @@ class ViewerServer:
             "frame": self.frame,
             "step_ms": round(self.last_step_ms, 3),
             "grabbed": grabbed,
+            "normals": self.normals_mode,
         }
         if self.sim_error is not None:
             diag["error"] = self.sim_error
@@ -404,6 +452,21 @@ class ViewerServer:
         with self._lock:
             diag, exports = self._export_device()
         return self._assemble_blob(diag, exports)
+
+    def _error_blob(self) -> bytes:
+        """Minimal error-only state blob — correct payload size, zero
+        geometry, no device work.  Served when the sim thread died before
+        producing its first frame: dispatching state_blob() against a
+        broken device would raise (or hang) inside the HTTP handler and
+        the one-line sim error would never reach the client (ADVICE r4)."""
+        diag = {
+            "frame": self.frame,
+            "step_ms": 0.0,
+            "grabbed": -1,
+            "error": self.sim_error or "sim thread not running",
+        }
+        hdr = _pad_header(json.dumps(diag).encode())
+        return hdr + bytes(4 * 3 * (2 * self._n_vis + self._n_part))
 
     # -- interaction (synchronous, under the sim lock) -----------------------
     def grab(self, action: str, origin=None, direction=None) -> dict:
@@ -476,7 +539,14 @@ class ViewerServer:
             p = self.world.params
             fields = {}
             for k, v in updates.items():
-                if k in ("num_substeps", "extract_iters"):
+                if k == "normals":
+                    # viewer-level shading flag, not a physics param
+                    if v not in ("smooth", "rotated"):
+                        raise ValueError(
+                            f"normals must be 'smooth' or 'rotated', got {v!r}"
+                        )
+                    self.normals_mode = v
+                elif k in ("num_substeps", "extract_iters"):
                     # static fields: python ints (a float32 leaf here would
                     # poison the step functions' static trace keys)
                     fields[k] = int(v)
@@ -572,23 +642,26 @@ class ViewerServer:
         import traceback
 
         traceback.print_exc()
-        self.sim_error = f"{type(e).__name__}: {e}"[:500]
-        print(f"viewer sim thread halted: {self.sim_error}",
+        err = f"{type(e).__name__}: {e}"[:500]
+        print(f"viewer sim thread halted: {err}",
               file=sys.stderr, flush=True)
         # Prefer finishing the in-flight frame (transfers were already
         # dispatched); if the device itself is broken, fall back to
         # patching the last good blob's header host-side only.
+        # ``sim_error`` is published LAST: a concurrent /state must never
+        # observe the error via /diag while the cached blob still lacks it
+        # (ADVICE r4 — the one-poll inconsistency window).
         if pending is not None:
             try:
-                pending[0]["error"] = self.sim_error
+                pending[0]["error"] = err
                 self._cached_state = self._assemble_blob(*pending)
+                self.sim_error = err
                 return
             except Exception:
                 pass
         if self._cached_state is not None:
-            self._cached_state = _patch_blob_error(
-                self._cached_state, self.sim_error
-            )
+            self._cached_state = _patch_blob_error(self._cached_state, err)
+        self.sim_error = err
 
     # -- http ----------------------------------------------------------------
     def _make_handler(self):
@@ -613,14 +686,30 @@ class ViewerServer:
                     self._send(200, server.mesh_blob())
                 elif self.path == "/state":
                     # served from the sim thread's per-frame cache; computed
-                    # on demand only before the first frame (or no sim loop)
-                    self._send(
-                        200, server._cached_state or server.state_blob()
-                    )
+                    # on demand only before the first frame (or no sim loop).
+                    # A dead sim thread with no cached frame serves an
+                    # error-only blob — state_blob() would dispatch device
+                    # work against a possibly-broken device (ADVICE r4)
+                    blob = server._cached_state
+                    if blob is None:
+                        blob = (
+                            server._error_blob()
+                            if server.sim_error is not None
+                            else server.state_blob()
+                        )
+                    self._send(200, blob)
                 elif self.path == "/diag":
-                    d = server.world.diagnostics()
+                    # after a sim-thread death, never touch the device (the
+                    # readbacks in world.diagnostics() can hang or raise on
+                    # a broken device/relay — ADVICE r4); serve the last
+                    # good diag plus the error line instead
                     if server.sim_error is not None:
-                        d = dict(d, error=server.sim_error)
+                        d = dict(
+                            server._last_diag or {}, error=server.sim_error
+                        )
+                    else:
+                        d = server.world.diagnostics()
+                        server._last_diag = d
                     self._send(200, json.dumps(d).encode(), "application/json")
                 else:
                     self._send(404, b"not found", "text/plain")

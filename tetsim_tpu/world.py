@@ -51,6 +51,18 @@ def _surface_render_data(pos, skin_ids, skin_w, tris):
 
 
 @jax.jit
+def _surface_render_data_rotated(pos, skin_ids, skin_w, rest_normals, quats,
+                                 vis_tet_ids):
+    """Fused viewer export, reference GPU-path shading: skin + rest normals
+    rotated by the containing tet's quaternion (SoftbodyGPU.js:424-448) —
+    one [2,S,3] output, no geometric normal recomputation."""
+    verts = _skin_surface(pos, skin_ids, skin_w)
+    return jnp.stack(
+        [verts, _rotated_normals(rest_normals, quats, vis_tet_ids)]
+    )
+
+
+@jax.jit
 def _rotated_normals(rest_normals, quats, vis_tet_ids):
     """Reference GPU-path normals: rotate the REST normal by the containing
     tet's shape-matching quaternion instead of recomputing from geometry
