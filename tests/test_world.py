@@ -358,3 +358,79 @@ def test_multi_grab_single_grid_body():
     pos = np.asarray(state.pos)
     np.testing.assert_allclose(pos[ids[0]], targets[0], atol=1e-6)
     np.testing.assert_allclose(pos[ids[1]], targets[1], atol=1e-6)
+
+
+def test_world_scene_checkpoint_roundtrip(small_mesh, tmp_path):
+    """One-file scene checkpoint across a MIXED world (Body + GridBodyBatch
+    + PackedGridBody): world.save -> restore into a matching world AND a
+    full World.load rebuild both resume the identical session (VERDICT r4
+    item 7).  The reference has no counterpart (SURVEY.md §5)."""
+    def build():
+        w = ts.World(ts.PhysicsParams(num_substeps=2))
+        w.add_body(small_mesh, engine="polar")
+        w.add_grid_body_batch((3, 3, 3), 2, cell=0.2, engine="polar_grid")
+        w.add_grid_body((2, 2, 3), cell=0.25, origin=(0.0, 0.5, 0.0),
+                        engine="polar_grid_pallas", packed=True)
+        return w
+
+    world = build()
+    world.step(frames=3)
+    world.bodies[0].start_grab([0.0, 1.0, 0.0])  # active grab round-trips
+    world.bodies[1].start_grab(1, [0.3, 0.8, 0.3])
+    path = str(tmp_path / "scene.npz")
+    world.save(path)
+
+    world.step(frames=3)
+    ref = [np.asarray(b.positions) for b in world.bodies]
+    ref_grab = int(world.bodies[0].controls.grab_id)
+    assert ref_grab >= 0
+
+    # (a) restore into a freshly built matching world
+    w2 = build()
+    w2.restore(path)
+    assert int(w2.bodies[0].controls.grab_id) == ref_grab
+    assert int(w2.bodies[1].controls.grab_id[1]) >= 0
+    w2.step(frames=3)
+    for b, r in zip(w2.bodies, ref):
+        np.testing.assert_allclose(np.asarray(b.positions), r, atol=1e-5)
+
+    # (b) full rebuild from the file alone
+    w3 = ts.World.load(path)
+    assert len(w3.bodies) == 3
+    assert w3.params.num_substeps == 2
+    w3.step(frames=3)
+    for b2, b3 in zip(w2.bodies, w3.bodies):
+        np.testing.assert_allclose(
+            np.asarray(b3.positions), np.asarray(b2.positions), atol=1e-6
+        )
+    for b, r in zip(w3.bodies, ref):
+        np.testing.assert_allclose(np.asarray(b.positions), r, atol=1e-5)
+
+
+def test_world_scene_checkpoint_validates(small_mesh, tmp_path):
+    """restore/load validate structure: body count, engine, mesh."""
+    world = ts.World(ts.PhysicsParams(num_substeps=2))
+    world.add_body(small_mesh, engine="polar")
+    path = str(tmp_path / "scene.npz")
+    world.save(path)
+
+    other = ts.World(ts.PhysicsParams(num_substeps=2))
+    other.add_body(small_mesh, engine="neohookean")
+    with pytest.raises(ValueError, match="engine"):
+        other.restore(path)
+
+    empty = ts.World()
+    with pytest.raises(ValueError, match="bodies"):
+        empty.restore(path)
+
+    # a fused-backend batch round-trips through save/load too
+    wf = ts.World(ts.PhysicsParams(num_substeps=2))
+    wf.add_body_batch(small_mesh, 8, engine="neohookean", backend="fused",
+                      jitter=0.05, seed=3)
+    wf.step(frames=2)
+    pf = str(tmp_path / "fused.npz")
+    wf.save(pf)
+    wf2 = ts.World.load(pf)
+    np.testing.assert_allclose(
+        wf2.bodies[0].positions(), wf.bodies[0].positions(), atol=1e-6
+    )

@@ -816,6 +816,14 @@ class World:
     def __init__(self, params: Optional[PhysicsParams] = None):
         self.params = params if params is not None else PhysicsParams()
         self.bodies: list = []
+        # construction specs recorded by the add_* APIs — lets a scene
+        # checkpoint (checkpoint.save_world) rebuild the whole world from
+        # one file; None marks a body load_world cannot reconstruct
+        self._specs: list = []
+
+    @staticmethod
+    def _pins(pinned):
+        return None if pinned is None else np.asarray(pinned).tolist()
 
     def add_body(
         self,
@@ -832,6 +840,13 @@ class World:
             arrays=arrays, pinned=pinned,
         )
         self.bodies.append(body)
+        if arrays is None:
+            self._specs.append({
+                "add": "body", "engine": engine, "coloring": coloring,
+                "density": d, "pinned": self._pins(pinned), "_mesh": mesh,
+            })
+        else:
+            self._specs.append(None)  # prebuilt arrays: not reconstructible
         return body
 
     def add_grid_body(
@@ -891,6 +906,13 @@ class World:
         else:
             body = Body(mesh, engine=engine, arrays=arrays, coloring=None)
         self.bodies.append(body)
+        self._specs.append({
+            "add": "grid_body", "dims": [int(x) for x in dims],
+            "cell": float(cell), "origin": [float(x) for x in origin],
+            "density": d, "pinned": self._pins(pinned),
+            "with_edges": with_edges, "engine": engine, "packed": packed,
+            "with_surface": with_surface,
+        })
         return body
 
     def add_grid_body_batch(
@@ -915,6 +937,14 @@ class World:
             color_scan=color_scan,
         )
         self.bodies.append(batch)
+        self._specs.append({
+            "add": "grid_body_batch", "dims": [int(x) for x in dims],
+            "num_bodies": num_bodies, "cell": float(cell),
+            "origins": None if origins is None
+            else np.asarray(origins, np.float32).tolist(),
+            "engine": engine, "density": d, "with_edges": with_edges,
+            "with_surface": with_surface, "color_scan": color_scan,
+        })
         return batch
 
     def add_body_batch(
@@ -986,7 +1016,36 @@ class World:
         else:
             raise ValueError(f"unknown backend {backend!r}")
         self.bodies.append(batch)
+        self._specs.append({
+            "add": "body_batch", "num_bodies": num_bodies, "engine": engine,
+            "backend": backend, "jitter": float(jitter), "seed": int(seed),
+            "density": d, "_mesh": mesh,
+        })
         return batch
+
+    # -- scene checkpoint (VERDICT r4 item 7; extends checkpoint.py) -------
+    def save(self, path: str) -> None:
+        """One-file scene checkpoint: params + every body's runtime state
+        (incl. PackedGridBody packed state and the fused kernels' planes)
+        + construction specs, so ``World.load(path)`` restores the whole
+        interactive session."""
+        from . import checkpoint
+
+        checkpoint.save_world(self, path)
+
+    def restore(self, path: str) -> None:
+        """Restore a scene checkpoint into THIS world (same body structure:
+        types, engines, meshes are validated)."""
+        from . import checkpoint
+
+        checkpoint.restore_world(self, path)
+
+    @staticmethod
+    def load(path: str) -> "World":
+        """Rebuild a full World from a scene checkpoint file."""
+        from . import checkpoint
+
+        return checkpoint.load_world(path)
 
     def step(self, frames: int = 1):
         """Advance all bodies by ``frames`` frames.
