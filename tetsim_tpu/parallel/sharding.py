@@ -15,10 +15,11 @@ SoftbodyGPU.js:29-37).  The TPU rebuild scales two ways, composable on one
         combined with ONE ``psum`` pair per Jacobi solve (positions are
         replicated — particle state is tiny relative to tet data, ~2 MB for
         a 1M-tet mesh, so replication + psum over ICI beats halo exchange).
-      - ``neohookean``: tet constants replicated, each color level's slot
-        columns sharded; one ``psum`` of the level's dense position delta
-        keeps every chip's Gauss-Seidel state identical before the next
-        level (tets within a level are vertex-disjoint by construction).
+      - ``neohookean``: RCB-sharded tets with compact per-level boundary
+        exchange — only corners landing on particles SHARED between shards
+        ride the interconnect (parallel/nh_shard.py; sum_l Eb_l x 12 bytes
+        per substep + one ownership combine per frame, vs the O(levels x N)
+        dense-psum placeholder this replaced).
 """
 from __future__ import annotations
 
@@ -202,12 +203,19 @@ def make_sharded_step(
     a leading batch dim sharded across that axis and the solver is vmapped
     over local bodies.
     """
-    engine_mod = get_engine(engine)
     st_specs = state_specs(engine, tet_axis, body_axis)
     ct_specs = control_specs(body_axis)
     diag_spec = P(body_axis) if body_axis is not None else P()
 
-    step = functools.partial(engine_mod.step_frame, axis_name=tet_axis)
+    nh_sharded = engine == "neohookean" and tet_axis is not None
+    if nh_sharded:
+        from . import nh_shard
+
+        step = functools.partial(nh_shard.step_frame, axis_name=tet_axis)
+    else:
+        step = functools.partial(
+            get_engine(engine).step_frame, axis_name=tet_axis
+        )
     if body_axis is not None:
         step = jax.vmap(step, in_axes=(0, None, None, 0))
 
@@ -220,11 +228,16 @@ def make_sharded_step(
         # arr may or may not carry the GS schedule — derive their spec
         # templates per call so structures always match
         pm_specs = jax.tree.map(lambda _: P(), params)
-        ar_specs = tet_array_specs(
-            engine, tet_axis,
-            has_schedule=arr.slot_tets is not None,
-            has_incidence=arr.inc_idx is not None,
-        )
+        if nh_sharded:
+            from . import nh_shard
+
+            ar_specs = nh_shard.table_specs(tet_axis, arr)
+        else:
+            ar_specs = tet_array_specs(
+                engine, tet_axis,
+                has_schedule=arr.slot_tets is not None,
+                has_incidence=arr.inc_idx is not None,
+            )
         fn = jax.shard_map(
             step,
             mesh=mesh,
@@ -265,7 +278,24 @@ def prepare(
     tet_axis: Optional[str] = "tet",
     body_axis: Optional[str] = None,
 ):
-    """Pad + place (state, arr) for ``make_sharded_step`` on this mesh."""
+    """Pad + place (state, arr) for ``make_sharded_step`` on this mesh.
+
+    For ``neohookean`` with a tet axis, ``arr``'s GS schedule is regrouped
+    into boundary-exchange shard tables (parallel/nh_shard.py) — the
+    returned arrays pytree is an ``NHShardTables``, which
+    ``make_sharded_step`` expects for that engine."""
+    if engine == "neohookean" and tet_axis is not None:
+        from . import nh_shard
+
+        pos0 = np.asarray(state.pos)
+        if pos0.ndim == 3:  # body-batched: geometry is per-body identical
+            pos0 = pos0[0]
+        tables = nh_shard.build_nh_shard_tables(
+            arr, pos0, mesh.shape[tet_axis]
+        )
+        state = place(state, state_specs(engine, tet_axis, body_axis), mesh)
+        tables = place(tables, nh_shard.table_specs(tet_axis, tables), mesh)
+        return state, tables
     if tet_axis is not None:
         k = mesh.shape[tet_axis]
         if engine == "polar":

@@ -89,11 +89,15 @@ def project_constraints(pos, arr: TetArrays, dt, params: PhysicsParams, axis_nam
     mesh.build_schedule) so each level touches memory only through the
     particle gather/scatter.
 
-    When ``axis_name`` is given, each level's slot columns are a local shard
-    of a mesh axis: the level's position deltas are densified with
-    segment_sum and combined with ``lax.psum`` so every chip sees the full
-    Gauss-Seidel update before the next level — tets within a level are
-    vertex-disjoint, so cross-shard sums never race."""
+    Multi-chip runs do NOT pass ``axis_name`` here: the sharded form lives
+    in parallel/nh_shard.py (RCB tet shards + compact per-level boundary
+    exchange); this module is the single-chip / per-body-vmapped engine."""
+    if axis_name is not None:
+        raise ValueError(
+            "tet-axis sharding of the neohookean engine moved to "
+            "parallel.nh_shard (prepare/make_sharded_step build it); "
+            "step_frame(axis_name=...) is polar-only"
+        )
     if arr.slot_tets is None:
         raise ValueError(
             "neohookean engine needs a GS schedule: build_arrays(..., "
@@ -102,40 +106,26 @@ def project_constraints(pos, arr: TetArrays, dt, params: PhysicsParams, axis_nam
 
     def level_body(carry, level):
         pos, vol_err = carry
-        ids, irp, irv, valid, imc = level[:5]  # [C,4],[C,3,3],[C],[C],[C,4]
+        ids, irp, irv, valid, imc, inv = level
         p = pos[ids]
         delta, verr = solve_tet_batch(p, irp, irv, imc, dt, params)
         delta = jnp.where(valid[:, None, None], delta, 0.0)
-        if axis_name is None:
-            # scatter-as-gather: each particle is touched by <=1 corner in a
-            # level, so the update is a gather of (p + delta) by the
-            # precomputed inverse index — ~7x cheaper than scatter-add on
-            # TPU (mesh.build_schedule docstring)
-            inv = level[5]  # [N] flat corner id or -1
-            live = inv >= 0
-            new_corners = (p + delta).reshape(-1, 3)  # [(C*4), 3]
-            gathered = new_corners[jnp.maximum(inv, 0)]
-            pos = jnp.where(live[:, None], gathered, pos)
-        else:
-            dense = jax.ops.segment_sum(
-                delta.reshape(-1, 3),
-                jnp.where(valid[:, None], ids, pos.shape[-2]).reshape(-1),
-                num_segments=pos.shape[-2],
-            )
-            pos = pos + jax.lax.psum(dense, axis_name)
+        # scatter-as-gather: each particle is touched by <=1 corner in a
+        # level, so the update is a gather of (p + delta) by the
+        # precomputed inverse index — ~7x cheaper than scatter-add on
+        # TPU (mesh.build_schedule docstring)
+        live = inv >= 0
+        new_corners = (p + delta).reshape(-1, 3)  # [(C*4), 3]
+        gathered = new_corners[jnp.maximum(inv, 0)]
+        pos = jnp.where(live[:, None], gathered, pos)
         vol_err = vol_err + jnp.sum(jnp.where(valid, verr, 0.0))
         return (pos, vol_err), None
 
     levels = (
         arr.slot_tets, arr.slot_inv_rest_pose, arr.slot_inv_rest_volume,
-        arr.slot_valid, arr.slot_inv_mass,
+        arr.slot_valid, arr.slot_inv_mass, arr.slot_inv,
     )
-    if axis_name is None:
-        levels = levels + (arr.slot_inv,)
     (pos, vol_err), _ = jax.lax.scan(level_body, (pos, jnp.float32(0.0)), levels)
-    vol_err = (
-        vol_err if axis_name is None else jax.lax.psum(vol_err, axis_name)
-    )
     return pos, vol_err / arr.num_tets
 
 
