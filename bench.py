@@ -311,6 +311,60 @@ def _bench_scale_1m_nh():
     return per_substep
 
 
+def _bench_scale_1m_nh_unstructured():
+    """VERDICT r4 item 1: reference-fidelity Neo-Hookean GS on a single
+    connected UNSTRUCTURED ~1M-tet mesh (an irregular blob — no grid
+    stencil applies), sustained packed piece planes
+    (kernels/nh_pieces.py).  Measured 5.53 ms/substep in round 5 vs the
+    generic colored engine's ~82 ms on this shape.  Host-side schedule
+    build is ~10 s; the Mosaic compile is one-time (persistent cache).
+    Returns ms/substep or None."""
+    import jax
+    import tetsim_tpu as ts
+    from tetsim_tpu.kernels.nh_pieces import (
+        build_nh_pieces_arrays, make_nh_pieces_stepper,
+    )
+
+    blob = ts.ellipsoid_mesh(68, radii=(0.68,) * 3, center=(0.0, 0.75, 0.0))
+    arr = build_nh_pieces_arrays(blob)
+    params = ts.PhysicsParams(num_substeps=1)
+    controls = ts.Controls.none()
+    pack, step, unpack, _ = make_nh_pieces_stepper(arr, interpret=False)
+    packed0 = pack(ts.init_state(blob), params)
+
+    def runner(frames):
+        @jax.jit
+        def run(st):
+            def body(s, _):
+                return step(s, params, controls), None
+
+            s, _ = jax.lax.scan(body, st, None, length=frames)
+            return s
+
+        return run
+
+    k1, k2 = 20, 120
+    run1, run2 = runner(k1), runner(k2)
+
+    def timed(run, reps=2):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            chk = float(jax.tree.leaves(run(packed0))[0].sum())
+            best = min(best, time.perf_counter() - t0)
+        assert np.isfinite(chk)
+        return best
+
+    timed(run1, reps=1)
+    timed(run2, reps=1)
+    per_substep = (timed(run2, 3) - timed(run1, 3)) / (k2 - k1)
+    print(
+        f"scale-nh-unstructured: 987k-tet blob {per_substep*1e3:.3f} "
+        "ms/substep", file=sys.stderr, flush=True,
+    )
+    return per_substep
+
+
 def _bench_ordered(mesh, params):
     """Exact-order fused GS (kernels/gs_ordered.py): the BASELINE config-1
     trajectory-matching path at its measured serial floor (703 sequential
@@ -377,6 +431,12 @@ def main():
               f"{str(e)[:120]})", file=sys.stderr, flush=True)
         scale_ms = None
     try:
+        scale_nh_un_ms = _bench_scale_1m_nh_unstructured()
+    except Exception as e:
+        print(f"unstructured NH scale bench unavailable ({type(e).__name__}:"
+              f" {str(e)[:120]})", file=sys.stderr, flush=True)
+        scale_nh_un_ms = None
+    try:
         ordered_rate = _bench_ordered(mesh, params)
     except Exception as e:
         print(f"ordered bench unavailable ({type(e).__name__}: "
@@ -412,6 +472,10 @@ def main():
         # north-star workload (BASELINE.md: 1M tets >60 Hz on v5e-8)
         out["scale_1m_tets_ms_per_substep"] = round(scale_ms * 1e3, 3)
         out["scale_1m_tets_hz_single_chip"] = round(1.0 / scale_ms, 1)
+    if scale_nh_un_ms is not None:
+        # reference-fidelity NH on an UNSTRUCTURED ~1M-tet blob
+        # (kernels/nh_pieces.py; VERDICT r4 item 1)
+        out["scale_1m_nh_unstructured_ms"] = round(scale_nh_un_ms * 1e3, 3)
     if ordered_rate is not None:
         # BASELINE config 1 exact-trajectory path (serial floor: BASELINE.md)
         out["ordered_exact_substeps_per_sec"] = round(ordered_rate, 1)

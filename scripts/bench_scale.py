@@ -11,6 +11,9 @@ import time
 
 import numpy as np
 
+# runnable from anywhere: the package lives next to scripts/
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 
 def main():

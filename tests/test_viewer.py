@@ -365,6 +365,7 @@ def test_sim_error_surfaces_to_client():
 
         srv.views[0].body.step = boom
         srv.views[0].body.step_many = boom
+        srv.views[0].body.step_many_export = boom
         srv._sim_thread.join(timeout=10)
         assert not srv._sim_thread.is_alive(), "sim thread should halt"
         assert "injected solver failure" in srv.sim_error
@@ -405,6 +406,7 @@ def test_error_blob_when_sim_dies_before_first_frame():
         raise RuntimeError("first-step failure")
 
     srv.views[0].body.step = boom
+    srv.views[0].body._many_export = None  # force the per-frame step path
     srv.start()
     srv._sim_thread.join(timeout=10)
     try:

@@ -712,3 +712,107 @@ def test_nh_dynamic_sweep_on_hardware():
                                       interpret=False, dynamic=True)
     err = float(np.abs(np.asarray(su.pos) - np.asarray(sd.pos)).max())
     assert err == 0.0, f"dynamic vs unrolled drift on hardware: {err}"
+
+
+def test_nh_pieces_matches_interpret_on_hardware():
+    """Piecewise fused Neo-Hookean GS kernel (kernels/nh_pieces.py): the
+    Mosaic lowering must match interpret mode (measured bitwise-equal in
+    round 5) — the CPU suite already pins interpret mode against an
+    independent XLA implementation of the same two-level schedule.
+    (Divergence from the GLOBAL engine is NOT asserted here: at 25k tets
+    a frame's max gap between two valid GS orders — global greedy vs
+    global ordered — is itself ~0.37, so closeness to one particular
+    order is not a scale-invariant criterion; see BENCHNOTES round 5.)"""
+    from tetsim_tpu.kernels.nh_pieces import build_nh_pieces_arrays, step_frame
+
+    blob = ts.ellipsoid_mesh(10, radii=(0.4, 0.35, 0.45), center=(0, 0.8, 0))
+    arr = build_nh_pieces_arrays(blob, tets_per_piece=512)
+    params = ts.PhysicsParams(num_substeps=5)
+    controls = ts.Controls.none()
+    step_hw = jax.jit(
+        lambda s: step_frame(s, arr, params, controls, interpret=False)[0]
+    )
+    step_in = jax.jit(
+        lambda s: step_frame(s, arr, params, controls, interpret=True)[0]
+    )
+    sh, si = ts.init_state(blob), ts.init_state(blob)
+    for _ in range(3):
+        sh = step_hw(sh)
+        si = step_in(si)
+    np.testing.assert_allclose(np.asarray(sh.pos), np.asarray(si.pos),
+                               atol=1e-6)
+    assert np.isfinite(np.asarray(sh.pos)).all()
+
+
+def test_nh_pieces_rate_floor():
+    """Reference-fidelity Neo-Hookean GS on a single connected
+    UNSTRUCTURED ~1M-tet mesh, sustained packed form: <15 ms/substep
+    (VERDICT r4 item 1 'done' criterion; the generic colored engine reads
+    ~82 ms on this shape)."""
+    from tetsim_tpu.kernels.nh_pieces import (
+        build_nh_pieces_arrays, make_nh_pieces_stepper,
+    )
+
+    blob = ts.ellipsoid_mesh(68, radii=(0.68,) * 3, center=(0.0, 0.75, 0.0))
+    arr = build_nh_pieces_arrays(blob)
+    params = ts.PhysicsParams(num_substeps=1)
+    controls = ts.Controls.none()
+    pack, step, unpack, _ = make_nh_pieces_stepper(arr, interpret=False)
+    packed0 = pack(ts.init_state(blob), params)
+
+    def runner(frames):
+        @jax.jit
+        def run(st):
+            def body(s, _):
+                return step(s, params, controls), None
+
+            s, _ = jax.lax.scan(body, st, None, length=frames)
+            return s
+
+        return run
+
+    k1, k2 = 20, 120
+    run1, run2 = runner(k1), runner(k2)
+
+    def timed(run):
+        t0 = time.perf_counter()
+        reps = 2
+        for _ in range(reps):
+            out = run(packed0)
+            float(jax.tree.leaves(out)[0].sum())
+        return (time.perf_counter() - t0) / reps
+
+    timed(run1)
+    timed(run2)
+    t1, t2 = timed(run1), timed(run2)
+    per_substep = (t2 - t1) / (k2 - k1)
+    assert per_substep < 15e-3, (
+        f"1M-tet nh_pieces substep regressed: {per_substep*1e3:.2f} ms"
+    )
+
+
+def test_viewer_batched_body_fps(dragon):
+    """VERDICT r4 item 8: a surfaced BatchedBody scene must sustain >=30
+    sim fps through the viewer loop on the tunneled device — the fused
+    step_many_export dispatch (one device call per batch of frames)
+    amortizes the ~35 ms per-call round trip that capped unpacked bodies
+    at ~10 fps."""
+    from tetsim_tpu.viewer.server import ViewerServer
+
+    world = ts.World(ts.PhysicsParams(num_substeps=5))
+    world.add_body_batch(dragon, 4, engine="polar", backend="flat",
+                         jitter=0.1)
+    srv = ViewerServer(world, port=0, fps=60.0)
+    assert srv.views[0].body._many_export is not None, (
+        "viewer must enable the fused step+export on BatchedBody"
+    )
+    srv.start()
+    try:
+        time.sleep(3.0)  # warm: first dispatch compiles
+        f0, t0 = srv.frame, time.perf_counter()
+        time.sleep(5.0)
+        fps = (srv.frame - f0) / (time.perf_counter() - t0)
+        assert srv.sim_error is None, srv.sim_error
+        assert fps >= 30.0, f"viewer sim loop at {fps:.1f} fps (<30)"
+    finally:
+        srv.stop()

@@ -107,12 +107,18 @@ class _View:
             self.surface = body._surface
             self.edges = body.mesh.edges
             self._state0 = None if self._packed_grid else body.state
-            if self._packed_grid and self.surface is not None:
+            if self.surface is not None:
                 # fuse step + surface export into one jitted device call
-                body.enable_render_export(
-                    self.surface.skin_ids, self.surface.skin_w,
-                    self.surface.tris,
-                )
+                # (VERDICT r4 item 8: every body kind gets the fused
+                # dispatch, not just PackedGridBody — per-frame separate
+                # step/skin calls pay ~35 ms tunneled round trips each)
+                if self._packed_grid:
+                    body.enable_render_export(
+                        self.surface.skin_ids, self.surface.skin_w,
+                        self.surface.tris,
+                    )
+                else:
+                    body.enable_render_export()
         elif isinstance(body, (BatchedBody, GridBodyBatch)):
             # GridBodyBatch mirrors BatchedBody's contract (states with a
             # leading body axis instead of a flat mesh — reshape covers it)
@@ -121,6 +127,8 @@ class _View:
             self.surface = body._surface
             self.edges = body.flat_mesh.edges
             self._state0 = body.states
+            if self.surface is not None:
+                body.enable_render_export()
         else:
             from ..kernels.gs_fused import FusedGSBody
             from ..kernels.gs_ordered import OrderedGSBody
@@ -576,7 +584,9 @@ class ViewerServer:
         for i, v in enumerate(self.views):
             b = v.body
             if getattr(b, "_many_export", None) is not None:
-                vns[i] = b.step_many_export(self.world.params, frames)
+                vns[i] = b.step_many_export(
+                    self.world.params, frames, normals=self.normals_mode
+                )
             elif frames > 1 and hasattr(b, "step_many"):
                 b.step_many(self.world.params, frames)
             else:

@@ -62,6 +62,41 @@ def _surface_render_data_rotated(pos, skin_ids, skin_w, rest_normals, quats,
     )
 
 
+_POLAR_ENGINES = ("polar", "polar_grid", "polar_pieces")
+
+
+def _make_many_export(step, has_quats: bool):
+    """Build the fused N-frames + surface-export dispatch shared by Body,
+    BatchedBody and GridBodyBatch (VERDICT r4 item 8 — PackedGridBody had
+    this; unpacked bodies paid a ~35 ms tunneled round trip per frame,
+    BENCHNOTES pitfall 2).  ``step`` is the engine's raw (possibly
+    vmapped) step_frame; ``normals`` picks the reference CPU shading
+    (recomputed smooth) or GPU shading (quaternion-rotated rest normals,
+    SoftbodyGPU.js:424-448) when the engine carries quats."""
+
+    def many(state, arrays, params, controls, surf, frames, normals):
+        skin_ids, skin_w, tris, rest_normals, vis_ids = surf
+
+        # frames is TRACED (fori_loop, not scan): the viewer's adaptive
+        # frame batching varies it per iteration, and a static length
+        # would recompile this whole program at every batch-size change
+        state = jax.lax.fori_loop(
+            0, frames, lambda _i, s: step(s, arrays, params, controls)[0],
+            state,
+        )
+        pos = state.pos.reshape(-1, 3)  # batched states flatten body-major
+        verts = _skin_surface(pos, skin_ids, skin_w)
+        if normals == "rotated" and has_quats:
+            nrm = _rotated_normals(
+                rest_normals, state.quats.reshape(-1, 4), vis_ids
+            )
+        else:
+            nrm = _vertex_normals(verts, tris)
+        return state, jnp.stack([verts, nrm])
+
+    return jax.jit(many, static_argnames=("normals",))
+
+
 @jax.jit
 def _rotated_normals(rest_normals, quats, vis_tet_ids):
     """Reference GPU-path normals: rotate the REST normal by the containing
@@ -186,6 +221,8 @@ class Body:
         self.state = init_state(mesh)
         self.controls = Controls.none()
         self.last_diag = None
+        self._many_export = None
+        self._step_many_fn = None
 
         if mesh.vis_tet_ids is not None:
             self._surface = _Surface(mesh)
@@ -202,6 +239,58 @@ class Body:
         )
         self.last_diag = diag
         return diag
+
+    def step_many(self, params: PhysicsParams, frames: int):
+        """``frames`` full frames in ONE device dispatch (fori_loop over a
+        TRACED frame count — one compile for every batch size) — the
+        per-call round-trip latency (~35 ms tunneled, BENCHNOTES pitfall
+        2) amortizes over the batch.  Diagnostics carry the LAST frame's."""
+        from .solvers import get_engine
+
+        if self._step_many_fn is None:
+            step = get_engine(self.engine).step_frame
+
+            @jax.jit
+            def many(state, arrays, params, controls, frames):
+                def body(_i, carry):
+                    s, _d = carry
+                    return step(s, arrays, params, controls)
+
+                d0 = jnp.full((params.num_substeps,), jnp.nan, jnp.float32)
+                return jax.lax.fori_loop(0, frames, body, (state, d0))
+
+            self._step_many_fn = many
+        self.state, self.last_diag = self._step_many_fn(
+            self.state, self.arrays, params, self.controls, frames
+        )
+        return self.last_diag
+
+    def enable_render_export(self):
+        """Fuse step_many + the viewer's surface export into one jitted
+        device call (PackedGridBody.enable_render_export counterpart)."""
+        from .solvers import get_engine
+
+        if self._surface is None:
+            raise ValueError("mesh has no embedded render surface")
+        self._many_export = _make_many_export(
+            get_engine(self.engine).step_frame,
+            has_quats=self.engine in _POLAR_ENGINES,
+        )
+
+    def step_many_export(self, params: PhysicsParams, frames: int,
+                         normals: str = "smooth"):
+        """``frames`` frames + surface render export, one device call.
+        Requires a prior enable_render_export; returns device [2,S,3]."""
+        if self._many_export is None:
+            raise RuntimeError("call enable_render_export() first")
+        s = self._surface
+        self.state, vn = self._many_export(
+            self.state, self.arrays, params, self.controls,
+            (s.skin_ids, s.skin_w, s.tris, s.rest_normals, s.vis_tet_ids),
+            frames=frames, normals=normals,
+        )
+        self.last_diag = None
+        return vn
 
     def simulate(self, dt, params: Optional[PhysicsParams] = None):
         """Reference-API alias (Softbody.js simulate(dt, physicsParams)):
@@ -310,13 +399,13 @@ class PackedGridBody:
         self._many_export = None
 
         def _many(packed, params, controls, frames):
-            def body(s, _):
-                return stepfn(s, params, controls), None
+            # frames is TRACED (fori_loop): the viewer's adaptive batching
+            # varies it; a static scan length would recompile per size
+            return jax.lax.fori_loop(
+                0, frames, lambda _i, s: stepfn(s, params, controls), packed
+            )
 
-            s, _ = jax.lax.scan(body, packed, None, length=frames)
-            return s
-
-        self._step_many = jax.jit(_many, static_argnames=("frames",))
+        self._step_many = jax.jit(_many)
         self._params = params
         self._packed = self._pack(init_state(mesh), params)
         self._packed0 = self._packed
@@ -371,21 +460,25 @@ class PackedGridBody:
         tris = jnp.asarray(tris)
 
         def many_export(packed, params, controls, frames):
-            def body(s, _):
-                return stepfn(s, params, controls), None
-
-            s, _ = jax.lax.scan(body, packed, None, length=frames)
+            # frames TRACED (fori_loop) — see _many above
+            s = jax.lax.fori_loop(
+                0, frames, lambda _i, st: stepfn(st, params, controls),
+                packed,
+            )
             pos = unpack_pos(s)
             verts = _skin_surface(pos, skin_ids, skin_w)
             return s, jnp.stack([verts, _vertex_normals(verts, tris)])
 
-        self._many_export = jax.jit(
-            many_export, static_argnames=("frames",)
-        )
+        self._many_export = jax.jit(many_export)
 
-    def step_many_export(self, params: PhysicsParams, frames: int):
+    def step_many_export(self, params: PhysicsParams, frames: int,
+                         normals: str = "smooth"):
         """``frames`` frames + surface render export, one device call.
-        Requires a prior enable_render_export; returns device [2,S,3]."""
+        Requires a prior enable_render_export; returns device [2,S,3].
+        ``normals`` accepted for interface parity with Body — the packed
+        layouts keep quats in kernel planes, so rotated-normals shading
+        falls back to smooth here (documented viewer behavior)."""
+        del normals
         if self._many_export is None:
             raise RuntimeError(
                 "call enable_render_export(skin_ids, skin_w, tris) first"
@@ -477,6 +570,7 @@ class BatchedBody:
             grab_pos=jnp.zeros((num_bodies, 3), jnp.float32),
         )
         self.last_diag = None
+        self._many_export = None
         self._surface = (
             _Surface(self.flat_mesh)
             if self.flat_mesh.vis_tet_ids is not None
@@ -489,6 +583,33 @@ class BatchedBody:
         )
         self.last_diag = diag
         return diag
+
+    def enable_render_export(self):
+        """Fuse step_many + surface export (Body counterpart; the batch is
+        one flat mesh, so the same dispatch covers all bodies)."""
+        from .solvers import get_engine
+
+        if self._surface is None:
+            raise ValueError("mesh has no embedded render surface")
+        self._many_export = _make_many_export(
+            get_engine(self.engine).step_frame,
+            has_quats=self.engine in _POLAR_ENGINES,
+        )
+
+    def step_many_export(self, params: PhysicsParams, frames: int,
+                         normals: str = "smooth"):
+        """``frames`` frames + the whole batch's surface export, one
+        device call (see Body.step_many_export)."""
+        if self._many_export is None:
+            raise RuntimeError("call enable_render_export() first")
+        s = self._surface
+        self.states, vn = self._many_export(
+            self.states, self.arrays, params, self.controls,
+            (s.skin_ids, s.skin_w, s.tris, s.rest_normals, s.vis_tet_ids),
+            frames=frames, normals=normals,
+        )
+        self.last_diag = None
+        return vn
 
     @property
     def positions(self) -> np.ndarray:
@@ -644,8 +765,9 @@ class GridBodyBatch:
         )
         self._color_scan = color_scan
         self._step_jit = None
+        self._many_export = None
 
-    def _build_step(self):
+    def _vmapped_step(self):
         if self.engine == "neohookean_grid":
             from .solvers import neohookean_grid as eng
 
@@ -657,16 +779,40 @@ class GridBodyBatch:
 
             one = eng.step_frame
 
-        return jax.jit(jax.vmap(one, in_axes=(0, None, None, 0)))
+        return jax.vmap(one, in_axes=(0, None, None, 0))
 
     def step(self, params: PhysicsParams):
         if self._step_jit is None:
-            self._step_jit = self._build_step()
+            self._step_jit = jax.jit(self._vmapped_step())
         self.states, diag = self._step_jit(
             self.states, self.arrays, params, self.controls
         )
         self.last_diag = diag
         return diag
+
+    def enable_render_export(self):
+        """Fuse step_many + surface export across the vmapped batch
+        (Body counterpart; states flatten body-major for the skin)."""
+        if self._surface is None:
+            raise ValueError("batch was built without with_surface=True")
+        self._many_export = _make_many_export(
+            self._vmapped_step(), has_quats=self.engine == "polar_grid"
+        )
+
+    def step_many_export(self, params: PhysicsParams, frames: int,
+                         normals: str = "smooth"):
+        """``frames`` frames + the whole batch's surface export, one
+        device call (see Body.step_many_export)."""
+        if self._many_export is None:
+            raise RuntimeError("call enable_render_export() first")
+        s = self._surface
+        self.states, vn = self._many_export(
+            self.states, self.arrays, params, self.controls,
+            (s.skin_ids, s.skin_w, s.tris, s.rest_normals, s.vis_tet_ids),
+            frames=frames, normals=normals,
+        )
+        self.last_diag = None
+        return vn
 
     @property
     def positions(self) -> np.ndarray:
