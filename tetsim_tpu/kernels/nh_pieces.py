@@ -38,6 +38,16 @@ trajectory.  Parity tests pin the engine against an independent XLA
 implementation of the identical two-level schedule
 (tests/test_nh_pieces.py); stability is soak-tested with drops and grabs.
 
+Measured (round 5, real chip): 987,090-tet irregular blob, sustained
+packed planes: 5.53 ms/substep = 181 Hz — 15x the generic colored engine
+(~82 ms on this shape) and faster than polar_pieces (6.56 ms).  Mosaic
+lowering matches interpret mode BITWISE.  Divergence from any ONE global
+GS order is bounded only on small meshes: at 25k tets two valid orders
+of the global engine itself (greedy vs ordered) already differ by ~0.37
+max after one frame, so hardware tests pin Mosaic-vs-interpret and the
+CPU tests pin the schedule against an independent implementation
+(BENCHNOTES round 5).
+
 The completion AVERAGES each boundary particle's per-piece sweep results
 (averaged projections — the same estimator the reference's GPU Jacobi
 solve uses, SoftbodyGPU.js:320-340 volume-weighted average).  Summing
