@@ -55,9 +55,14 @@ def main():
     elif engine.startswith("polar_pieces"):
         from tetsim_tpu.kernels.polar_pieces import build_pieces_arrays
 
-        arr = build_pieces_arrays(mesh)
+        tpp = int(os.environ.get("TETSIM_TETS_PER_PIECE", "2048"))
+        bpfx = os.environ.get("TETSIM_BOUNDARY_PREFIX", "") == "1"
+        arr = build_pieces_arrays(
+            mesh, tets_per_piece=tpp, boundary_prefix=bpfx
+        )
         print(
-            f"pieces: {arr.B} (rp={arr.rp}, rt={arr.rt}, K={arr.valence}, "
+            f"pieces: {arr.B} (rp={arr.rp}, rb={arr.rb}, rt={arr.rt}, "
+            f"K={arr.valence}, "
             f"shared={int((arr.lane_bnd >= 0).sum())}, "
             f"dup={arr.B*arr.rp/mesh.num_particles:.2f}x lanes)",
             file=sys.stderr,
@@ -66,9 +71,13 @@ def main():
         from tetsim_tpu.kernels.nh_pieces import build_nh_pieces_arrays
 
         tpp = int(os.environ.get("TETSIM_TETS_PER_PIECE", "2048"))
-        arr = build_nh_pieces_arrays(mesh, tets_per_piece=tpp)
+        bpfx = os.environ.get("TETSIM_BOUNDARY_PREFIX", "") == "1"
+        arr = build_nh_pieces_arrays(
+            mesh, tets_per_piece=tpp, boundary_prefix=bpfx
+        )
         print(
-            f"nh pieces: {arr.B} (rp={arr.rp}, l_max={arr.l_max}, "
+            f"nh pieces: {arr.B} (rp={arr.rp}, rb={arr.rb}, r2={arr.r2}, "
+            f"l_max={arr.l_max}, "
             f"shared={int((arr.lane_bnd >= 0).sum())}, "
             f"dup={arr.B*arr.rp/mesh.num_particles:.2f}x lanes)",
             file=sys.stderr,

@@ -146,6 +146,26 @@ def test_parity_with_independent_reference(blob, blob_arr):
                                atol=2e-5)
 
 
+def test_boundary_prefix_parity(blob, blob_arr):
+    """Banded lanes ([J2 | J>=3 | interior], polar_pieces.band_locals):
+    the J=2 partner completion computes (da+db)/2 exactly like the tier
+    average, so the banded trajectory matches the default layout."""
+    arrp = build_nh_pieces_arrays(blob, tets_per_piece=128,
+                                  boundary_prefix=True)
+    assert arrp.r2 > 0
+    lbm = np.asarray(arrp.lane_bnd).reshape(arrp.B, arrp.rp)
+    assert (lbm[:, : arrp.r2] < 0).all()
+    assert (lbm[:, arrp.rb:] < 0).all()
+    params = ts.PhysicsParams(num_substeps=5)
+    controls = ts.Controls.none()
+    sa, sb = ts.init_state(blob), ts.init_state(blob)
+    for _ in range(4):
+        sa, _ = step_frame(sa, blob_arr, params, controls, interpret=True)
+        sb, _ = step_frame(sb, arrp, params, controls, interpret=True)
+    np.testing.assert_allclose(np.asarray(sb.pos), np.asarray(sa.pos),
+                               atol=2e-5)
+
+
 def test_grab_matches_reference(blob, blob_arr):
     sched = build_nh_pieces_schedule(blob, tets_per_piece=128)
     params = ts.PhysicsParams(num_substeps=5)

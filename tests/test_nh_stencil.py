@@ -156,11 +156,13 @@ def test_world_wiring():
                                  packed=True)
 
 
-def test_sharded_fused_matches_xla_engine():
-    """Fused-kernel slab sharding (make_nh_sharded_stepper: 12 segment
-    kernels + ppermute exchanges at the px transitions) == the unsharded
-    XLA stencil engine, 6 frames on a 4-slab virtual mesh.  Identical
-    arithmetic (_emit_sweep / _solve_color shared) -> f32-tight."""
+def _sharded_fused_check():
+    """Body of test_sharded_fused_matches_xla_engine — runs in a FRESH
+    subprocess: the 12-segment unrolled sharded-kernel O0 compile can
+    SIGSEGV XLA-CPU when ~75 suite compilations precede it in the same
+    process (round-5 full-suite finding, same failure class as
+    tests/test_sharding.py::_unrolled_slab_check), while the identical
+    check passes deterministically in a clean one."""
     from jax.sharding import Mesh
 
     d = 4
@@ -198,6 +200,41 @@ def test_sharded_fused_matches_xla_engine():
     np.testing.assert_allclose(
         np.asarray(out.pos)[5], [0.3, 1.1, 0.1], atol=1e-6
     )
+    print("sharded fused check ok")
+
+
+def test_sharded_fused_matches_xla_engine():
+    """Fused-kernel slab sharding (make_nh_sharded_stepper: 12 segment
+    kernels + ppermute exchanges at the px transitions) == the unsharded
+    XLA stencil engine, 6 frames on a 4-slab virtual mesh.  Identical
+    arithmetic (_emit_sweep / _solve_color shared) -> f32-tight.
+    Executed in a fresh subprocess — see _sharded_fused_check."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    src = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from tests.test_nh_stencil import _sharded_fused_check\n"
+        "_sharded_fused_check()\n"
+    )
+    r = subprocess.run(
+        [_sys.executable, "-c", src],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0, (
+        f"sharded fused subprocess rc={r.returncode}\n"
+        f"stdout: {r.stdout[-2000:]}\nstderr: {r.stderr[-2000:]}"
+    )
+    assert "sharded fused check ok" in r.stdout
 
 
 def test_dynamic_sweep_matches_unrolled(setup):

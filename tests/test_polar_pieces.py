@@ -76,6 +76,53 @@ def test_parity_with_xla_polar(blob, blob_arr):
     np.testing.assert_allclose(sp.quats, sx.quats, atol=2e-5)
 
 
+@pytest.mark.parametrize("tpp", [512, 128])
+def test_boundary_prefix_parity(blob, tpp):
+    """boundary_prefix=True bands each piece's lanes [J2 | J>=3 | interior]
+    so completion becomes one partner gather (J2) + a banded tier
+    read-back (J>=3).  The trajectory must match the default layout of
+    the SAME decomposition (tpp=512: 2 pieces -> partner-only completion;
+    tpp=128: 8 pieces -> partner + J>=3 tiers both exercised)."""
+    arr0 = build_pieces_arrays(blob, tets_per_piece=tpp)
+    arrp = build_pieces_arrays(blob, tets_per_piece=tpp,
+                               boundary_prefix=True)
+    # tier lanes confined to the J>=3 band; J=2 handled by partners only
+    lbm = np.asarray(arrp.lane_bnd).reshape(arrp.B, arrp.rp)
+    assert (lbm[:, arrp.rb:] < 0).all()
+    assert (lbm[:, : arrp.r2] < 0).all()
+    if tpp == 512:
+        assert arrp.rb < arrp.rp  # a real interior exists
+    else:
+        assert arrp.tier_counts  # J>=3 tiers exercised
+    # partner table is a symmetric pairing over exactly the J=2 lanes
+    if arrp.r2:
+        flat_self = (
+            np.arange(arrp.B)[:, None] * arrp.rp + np.arange(arrp.r2)
+        )
+        sel = np.asarray(arrp.is2).reshape(-1)
+        assert sel.any()
+        pf = np.asarray(arrp.pidx).reshape(-1)[sel]
+        # partners point back at each other and are distinct lanes
+        assert (pf != flat_self.reshape(-1)[sel]).all()
+        back = np.full(arrp.B * arrp.rp, -1)
+        back[flat_self.reshape(-1)[sel]] = pf
+        assert np.array_equal(back[pf], flat_self.reshape(-1)[sel])
+    params = ts.PhysicsParams(num_substeps=5)
+    controls = ts.Controls.none()
+    step_a = jax.jit(
+        lambda s: step_frame(s, arr0, params, controls, interpret=True)[0]
+    )
+    step_b = jax.jit(
+        lambda s: step_frame(s, arrp, params, controls, interpret=True)[0]
+    )
+    sa, sb = ts.init_state(blob), ts.init_state(blob)
+    for _ in range(4):
+        sa = step_a(sa)
+        sb = step_b(sb)
+    np.testing.assert_allclose(sb.pos, sa.pos, atol=2e-5)
+    np.testing.assert_allclose(sb.quats, sa.quats, atol=2e-5)
+
+
 def test_grab_matches_xla(blob, blob_arr):
     params = ts.PhysicsParams(num_substeps=5)
     controls = ts.Controls.none().replace(

@@ -77,7 +77,9 @@ from .schedule import ta_tiled as _ta_tiled, vmem_budget_bytes
 from .polar_pieces import (
     _rcm_particle_order,
     _round_up,
+    band_locals,
     completion_tables,
+    partner_tables,
     rcb_partition,
 )
 
@@ -102,12 +104,16 @@ class NHPiecesSchedule:
     tier_counts: tuple
     bnd_count: np.ndarray    # f32 [Sb]    instances per boundary particle
     lane_bnd: np.ndarray     # i32 [B*rp]  compact boundary row or -1
+    pidx: np.ndarray         # i32 [B, r2] J=2 partner flat lane (self pad)
+    is2: np.ndarray          # bool [B, r2] lane holds a J=2 particle
     inv_mass: np.ndarray     # f32 [N]
     num_particles: int
     num_tets: int
     n_pieces: int
     B: int
     rp: int
+    rb: int    # end of the shared-lane bands (= rp without banding)
+    r2: int    # end of the J=2 band (0 without banding)
     l_max: int
     gather_tiles: tuple   # [L][4*CW/128] of tuple[int]
     scatter_tiles: tuple  # [L][rp/128]   of tuple[int]
@@ -118,6 +124,7 @@ def build_nh_pieces_schedule(
     density: float = 1000.0,
     tets_per_piece: int = 2048,
     pinned=None,
+    boundary_prefix: bool = False,
 ) -> NHPiecesSchedule:
     ir, irv_t, _, im, _ = rest_state(mesh, density, pinned=pinned)
     tets = mesh.tets
@@ -148,6 +155,24 @@ def build_nh_pieces_schedule(
         pieces.append((locals_, levels))
     rp = _round_up(rp, 128)
 
+    # optional [J2 | J>=3 | interior] lane banding (shared helper — see
+    # polar_pieces.band_locals): completion becomes one partner gather
+    # for the J=2 band + tiers restricted to the J>=3 band
+    rb, r2 = rp, 0
+    if boundary_prefix:
+        loc, pos, r2, rb, rp = band_locals(
+            [locals_ for locals_, _ in pieces], n
+        )
+        pieces = [
+            (loc[i], pos[i], levels)
+            for i, (_, levels) in enumerate(pieces)
+        ]
+    else:
+        pieces = [
+            (locals_, np.arange(len(locals_)), levels)
+            for locals_, levels in pieces
+        ]
+
     lids = np.zeros((l_max, b_pad, 4 * _CW), np.int32)
     winv = np.full((l_max, b_pad, rp), -1, np.int32)
     cons = np.zeros((l_max, b_pad, 14, _CW), np.float32)
@@ -155,12 +180,11 @@ def build_nh_pieces_schedule(
     instances = [[] for _ in range(n)]
 
     lut = np.empty(n, np.int64)
-    for p, (locals_, levels) in enumerate(pieces):
-        nl = len(locals_)
-        g2l[p, :nl] = locals_
-        lut[locals_] = np.arange(nl)
-        for i, g in enumerate(locals_):
-            instances[int(g)].append(p * rp + i)
+    for p, (locals_, lanepos, levels) in enumerate(pieces):
+        g2l[p, lanepos] = locals_
+        lut[locals_] = lanepos
+        for i, g in zip(lanepos, locals_):
+            instances[int(g)].append(p * rp + int(i))
         for l, tl in enumerate(levels):
             # order within a sub-level by first local corner (tile locality;
             # order is free — tets within a color are vertex-disjoint)
@@ -179,8 +203,9 @@ def build_nh_pieces_schedule(
             cons[l, p, 10:14, :k] = im[tets[tl]].T
 
     owner_inst, bnd_inst, tier_counts, lane_bnd = completion_tables(
-        instances, n, b_pad * rp
+        instances, n, b_pad * rp, exclude_pairs=bool(r2)
     )
+    pidx, is2 = partner_tables(instances, n, b_pad, rp, r2)
     sb = bnd_inst.shape[1]
     bnd_count = np.ones(sb, np.float32)
     for j, c in enumerate(tier_counts):
@@ -203,10 +228,10 @@ def build_nh_pieces_schedule(
     return NHPiecesSchedule(
         lids=lids, winv=winv, cons=cons, g2l=g2l,
         owner_inst=owner_inst, bnd_inst=bnd_inst, tier_counts=tier_counts,
-        bnd_count=bnd_count, lane_bnd=lane_bnd,
+        bnd_count=bnd_count, lane_bnd=lane_bnd, pidx=pidx, is2=is2,
         inv_mass=np.asarray(im, np.float32),
         num_particles=n, num_tets=m, n_pieces=n_pieces, B=b_pad, rp=rp,
-        l_max=l_max,
+        rb=rb, r2=r2, l_max=l_max,
         gather_tiles=tile_lists(lids, rp),
         scatter_tiles=tile_lists(winv, 4 * _CW),
     )
@@ -346,6 +371,8 @@ class NHPiecesArrays:
     num_tets: int = struct.field(pytree_node=False)
     B: int = struct.field(pytree_node=False)
     rp: int = struct.field(pytree_node=False)
+    rb: int = struct.field(pytree_node=False)
+    r2: int = struct.field(pytree_node=False)
     l_max: int = struct.field(pytree_node=False)
     tier_counts: tuple = struct.field(pytree_node=False)
     gather_tiles: tuple = struct.field(pytree_node=False)
@@ -360,6 +387,8 @@ class NHPiecesArrays:
     bnd_inst: jnp.ndarray = None      # i32 [Jmax, Sb]
     bnd_count: jnp.ndarray = None     # f32 [Sb]
     lane_bnd: jnp.ndarray = None      # i32 [B*rp] (-1 interior)
+    pidx: jnp.ndarray = None          # i32 [B, r2] J=2 partner flat lane
+    is2: jnp.ndarray = None           # bool [B, r2]
     movw_l: jnp.ndarray = None        # f32 [B, rp]
     pid_l: jnp.ndarray = None         # i32 [B, rp]
     inv_mass: jnp.ndarray = None      # f32 [N]
@@ -370,15 +399,18 @@ def build_nh_pieces_arrays(
     density: float = 1000.0,
     tets_per_piece: int = 2048,
     pinned=None,
+    boundary_prefix: bool = False,
 ) -> NHPiecesArrays:
-    s = build_nh_pieces_schedule(mesh, density, tets_per_piece, pinned)
+    s = build_nh_pieces_schedule(
+        mesh, density, tets_per_piece, pinned, boundary_prefix
+    )
     movw_pad = np.concatenate(
         [(s.inv_mass > 0.0).astype(np.float32), np.zeros(1, np.float32)]
     )
     return NHPiecesArrays(
         num_particles=s.num_particles,
         num_tets=s.num_tets,
-        B=s.B, rp=s.rp, l_max=s.l_max,
+        B=s.B, rp=s.rp, rb=s.rb, r2=s.r2, l_max=s.l_max,
         tier_counts=s.tier_counts,
         gather_tiles=s.gather_tiles,
         scatter_tiles=s.scatter_tiles,
@@ -390,6 +422,8 @@ def build_nh_pieces_arrays(
         bnd_inst=jnp.asarray(s.bnd_inst),
         bnd_count=jnp.asarray(s.bnd_count),
         lane_bnd=jnp.asarray(s.lane_bnd),
+        pidx=jnp.asarray(s.pidx),
+        is2=jnp.asarray(s.is2),
         movw_l=jnp.asarray(movw_pad[s.g2l]),
         pid_l=jnp.asarray(s.g2l),
         inv_mass=jnp.asarray(s.inv_mass),
@@ -401,12 +435,14 @@ def _complete_boundary(arr: NHPiecesArrays, base, solved):
     position = predicted + MEAN of its per-piece GS deltas (averaged
     projections; summing double-corrects shared violations and blows up —
     module header).  Prefix-tier gathers on [*,3] rows (the
-    measured-cheap row shape)."""
+    measured-cheap row shape); under the banded layout the dominant J=2
+    case is ONE partner gather ((da+db)/2 — commutative, both replicas
+    bitwise equal) and the tiers cover only the J>=3 band."""
     bx, by, bz = base
     sx, sy, sz = solved
-    if not arr.tier_counts or arr.bnd_inst.shape[1] == 0:
+    has_tiers = bool(arr.tier_counts and arr.bnd_inst.shape[1])
+    if not has_tiers and not arr.r2:
         return solved
-    shared = arr.lane_bnd.reshape(arr.B, arr.rp) >= 0
     d3 = jnp.stack(
         [
             (sx - bx).reshape(-1),
@@ -415,17 +451,50 @@ def _complete_boundary(arr: NHPiecesArrays, base, solved):
         ],
         axis=-1,
     )
-    tot = d3[arr.bnd_inst[0]]  # [Sb, 3]
-    for j, c in enumerate(arr.tier_counts[1:], start=1):
-        tot = tot.at[:c].add(d3[arr.bnd_inst[j, :c]])
-    tot = tot / arr.bnd_count[:, None]
-    b3 = jnp.stack(
-        [bx.reshape(-1), by.reshape(-1), bz.reshape(-1)], axis=-1
-    )
-    back = b3 + tot[jnp.maximum(arr.lane_bnd, 0)]  # [B*rp, 3]
-    sx = jnp.where(shared, back[:, 0].reshape(arr.B, arr.rp), sx)
-    sy = jnp.where(shared, back[:, 1].reshape(arr.B, arr.rp), sy)
-    sz = jnp.where(shared, back[:, 2].reshape(arr.B, arr.rp), sz)
+    if arr.r2:
+        r2 = arr.r2
+        back2 = d3[arr.pidx]  # [B, r2, 3]
+        mx = (sx[:, :r2] - bx[:, :r2] + back2[..., 0]) * 0.5
+        my = (sy[:, :r2] - by[:, :r2] + back2[..., 1]) * 0.5
+        mz = (sz[:, :r2] - bz[:, :r2] + back2[..., 2]) * 0.5
+        sx = sx.at[:, :r2].set(
+            jnp.where(arr.is2, bx[:, :r2] + mx, sx[:, :r2])
+        )
+        sy = sy.at[:, :r2].set(
+            jnp.where(arr.is2, by[:, :r2] + my, sy[:, :r2])
+        )
+        sz = sz.at[:, :r2].set(
+            jnp.where(arr.is2, bz[:, :r2] + mz, sz[:, :r2])
+        )
+    if has_tiers:
+        tot = d3[arr.bnd_inst[0]]  # [Sb, 3]
+        for j, c in enumerate(arr.tier_counts[1:], start=1):
+            tot = tot.at[:c].add(d3[arr.bnd_inst[j, :c]])
+        tot = tot / arr.bnd_count[:, None]
+        lbm = arr.lane_bnd.reshape(arr.B, arr.rp)
+        if arr.r2 or arr.rb < arr.rp:
+            lb = lbm[:, arr.r2 : arr.rb]
+            shared = lb >= 0
+            back = tot[jnp.maximum(lb, 0)]  # [B, rb-r2, 3]
+            sl = (slice(None), slice(arr.r2, arr.rb))
+            sx = sx.at[sl].set(
+                jnp.where(shared, bx[sl] + back[..., 0], sx[sl])
+            )
+            sy = sy.at[sl].set(
+                jnp.where(shared, by[sl] + back[..., 1], sy[sl])
+            )
+            sz = sz.at[sl].set(
+                jnp.where(shared, bz[sl] + back[..., 2], sz[sl])
+            )
+        else:
+            shared = lbm >= 0
+            b3 = jnp.stack(
+                [bx.reshape(-1), by.reshape(-1), bz.reshape(-1)], axis=-1
+            )
+            back = b3 + tot[jnp.maximum(arr.lane_bnd, 0)]  # [B*rp, 3]
+            sx = jnp.where(shared, back[:, 0].reshape(arr.B, arr.rp), sx)
+            sy = jnp.where(shared, back[:, 1].reshape(arr.B, arr.rp), sy)
+            sz = jnp.where(shared, back[:, 2].reshape(arr.B, arr.rp), sz)
     return sx, sy, sz
 
 

@@ -83,6 +83,8 @@ class PiecesSchedule:
     bnd_inst: np.ndarray  # i32 [Jmax, Sb] j-th instance of boundary pcl i
     tier_counts: tuple    # [Jmax] prefix counts (sorted by J descending)
     lane_bnd: np.ndarray  # i32 [B*rp]     compact boundary row or -1
+    pidx: np.ndarray      # i32 [B, r2]    J=2 partner flat lane (self pad)
+    is2: np.ndarray       # bool [B, r2]   lane holds a J=2 particle
     # global per-particle constants
     invden: np.ndarray   # f32 [N]
     movw: np.ndarray     # f32 [N]
@@ -94,6 +96,9 @@ class PiecesSchedule:
     B: int
     rp: int
     rt: int
+    rb: int              # end of the shared-lane bands (= rp unless the
+    #                      schedule was built with boundary_prefix=True)
+    r2: int              # end of the J=2 band (0 without boundary_prefix)
     valence: int
     gather_tiles: tuple   # [4][rt/128] of tuple[int] (union over pieces)
     scatter_tiles: tuple  # [K][rp/128] of tuple[int]
@@ -148,7 +153,67 @@ def rcb_partition(mesh: TetMesh, tets_per_piece: int):
     return parts, n_pieces
 
 
-def completion_tables(instances, n: int, lanes_total: int):
+def band_locals(locals_list, n: int):
+    """[J2 | J>=3 | interior] lane banding, shared by the pieces engines.
+
+    Takes each piece's (rank-sorted) local particle list and returns
+    (banded locals list, lane-position list, r2, rb, rp): particles
+    shared by exactly 2 pieces land in [0:r2), by >=3 in [r2:rb),
+    interior in [rb:rp), with hole lanes between bands left unmapped.
+    Band widths are uniform across pieces (max, lane-tile padded) so the
+    completion can address each band with a STATIC slice."""
+    icount = np.zeros(n, np.int64)
+    for locals_ in locals_list:
+        icount[locals_] += 1
+    n2_max = n3_max = ni_max = 0
+    banded = []
+    for locals_ in locals_list:
+        c = icount[locals_]
+        b2, b3, bi = locals_[c == 2], locals_[c > 2], locals_[c == 1]
+        banded.append((b2, b3, bi))
+        n2_max = max(n2_max, len(b2))
+        n3_max = max(n3_max, len(b3))
+        ni_max = max(ni_max, len(bi))
+    r2 = _round_up(n2_max, 128) if n2_max else 0
+    r3 = _round_up(n3_max, 128) if n3_max else 0
+    rb = r2 + r3
+    rp = rb + (_round_up(ni_max, 128) if ni_max else 0)
+    out_locals, out_lanepos = [], []
+    for b2, b3, bi in banded:
+        out_locals.append(np.concatenate([b2, b3, bi]))
+        out_lanepos.append(np.concatenate([
+            np.arange(len(b2)),
+            r2 + np.arange(len(b3)),
+            rb + np.arange(len(bi)),
+        ]))
+    return out_locals, out_lanepos, r2, rb, rp
+
+
+def partner_tables(instances, n: int, b_pad: int, rp: int, r2: int):
+    """J=2 partner-exchange tables over the [0:r2) band: pidx [B, r2]
+    holds each J=2 lane's twin as a FLAT lane index (self for non-J2 /
+    hole lanes so gathers stay in-bounds), is2 [B, r2] marks the real
+    pairs.  One gather over this band completes every J=2 particle —
+    f32 a+b is commutative, so both replicas stay bitwise equal."""
+    pidx = np.zeros((b_pad, r2), np.int32)
+    is2 = np.zeros((b_pad, r2), bool)
+    if r2:
+        pidx[:] = (
+            np.arange(b_pad)[:, None] * rp + np.arange(r2)[None, :]
+        )
+        for p in range(n):
+            inst = instances[p]
+            if len(inst) == 2:
+                a, b = inst
+                pidx[a // rp, a % rp] = b
+                pidx[b // rp, b % rp] = a
+                is2[a // rp, a % rp] = True
+                is2[b // rp, b % rp] = True
+    return pidx, is2
+
+
+def completion_tables(instances, n: int, lanes_total: int,
+                      exclude_pairs: bool = False):
     """Boundary-completion tables over COMPACT boundary space, shared by
     the pieces engines.  Measured gather cost is ~6-12 ns per ROW (not
     per byte), so the design minimizes gathered rows: boundary particles
@@ -157,12 +222,17 @@ def completion_tables(instances, n: int, lanes_total: int):
     has a j-th instance — total gathered rows = total instances, zero
     masked waste.  Interior lanes are never touched.
 
+    exclude_pairs: leave J=2 particles out of the tiers (the
+    boundary_prefix layout completes them with one partner gather
+    instead — see build_pieces_schedule).
+
     Returns (owner_inst [n], bnd_inst [Jmax, Sb], tier_counts tuple,
     lane_bnd [lanes_total])."""
     owner_inst = np.zeros(n, np.int32)
     for p in range(n):
         owner_inst[p] = instances[p][0]
-    bnd = [p for p in range(n) if len(instances[p]) > 1]
+    min_j = 3 if exclude_pairs else 2
+    bnd = [p for p in range(n) if len(instances[p]) >= min_j]
     bnd.sort(key=lambda p: -len(instances[p]))
     sb = len(bnd)
     jmax = max((len(instances[p]) for p in bnd), default=0)
@@ -185,6 +255,7 @@ def build_pieces_schedule(
     density: float = 1000.0,
     tets_per_piece: int = 2048,
     pinned=None,
+    boundary_prefix: bool = False,
 ) -> PiecesSchedule:
     _, _, vol, im, rc = rest_state(mesh, density, pinned=pinned)
     tets = mesh.tets
@@ -211,6 +282,38 @@ def build_pieces_schedule(
         kmax = max(kmax, int(counts.max()))
     rp, rt = _round_up(rp, 128), _round_up(rt, 128)
 
+    # boundary_prefix: band each piece's lanes as
+    #   [0:r2)   particles shared by EXACTLY 2 pieces (the dominant case —
+    #            face sharing; edge/corner particles have more instances)
+    #   [r2:rb)  particles shared by >=3 pieces
+    #   [rb:rp)  interior
+    # Completion then becomes (a) ONE partner gather over the [*, :r2]
+    # band — each J=2 lane reads its twin's numerator and adds it (f32
+    # a+b is commutative, so both replicas stay bitwise equal and the
+    # value equals the tier scheme's) — and (b) the tier sum + read-back
+    # restricted to the (much smaller) >=3 band.  Gathered rows per
+    # substep drop from 2x(all shared instances) + interior waste to
+    # ~1x(J2 instances) + 2x(J>=3 instances).  Trade-offs: band padding
+    # inserts hole lanes (rp can grow a tile or two), and surface tets'
+    # corner-gather source-tile lists lengthen — piece-size dependent,
+    # hence the flag.
+    rb = rp
+    r2 = 0
+    if boundary_prefix:
+        # hole lanes between bands stay unmapped (g2l pads to n ->
+        # zero mass, no incidence; they behave like tail padding)
+        loc, pos, r2, rb, rp = band_locals(
+            [locals_ for _, locals_ in pieces], n
+        )
+        pieces = [
+            (te, loc[i], pos[i]) for i, (te, _) in enumerate(pieces)
+        ]
+    else:
+        pieces = [
+            (te, locals_, np.arange(len(locals_)))
+            for te, locals_ in pieces
+        ]
+
     ids = np.zeros((4, b_pad, rt), np.int32)
     inc = np.full((kmax, b_pad, rp), -1, np.int32)
     rc12 = np.zeros((12, b_pad, rt), np.float32)
@@ -221,9 +324,8 @@ def build_pieces_schedule(
     instances = [[] for _ in range(n)]  # global pid -> flat instances
 
     lut = np.empty(n, np.int64)
-    for p, (te, locals_) in enumerate(pieces):
-        nl = len(locals_)
-        lut[locals_] = np.arange(nl)
+    for p, (te, locals_, lanepos) in enumerate(pieces):
+        lut[locals_] = lanepos
         lt_local = lut[tets[te]]
         # sort piece tets by first LOCAL corner (lane-tile locality, same
         # move as build_polar_schedule)
@@ -237,28 +339,31 @@ def build_pieces_schedule(
         for k in range(4):
             for r in range(3):
                 rc12[k * 3 + r, p, :mt] = rcp[:, k, r]
-        g2l[p, :nl] = locals_
+        g2l[p, lanepos] = locals_
         tet_l2g[p, :mt] = te_s
         tet_inst[te_s] = p * rt + np.arange(mt)
-        # vectorized bank fill (corner-instance -> local particle, sorted;
-        # same argsort trick as mesh.build_incidence)
-        seg = lt_local.reshape(-1)  # corner instance i=t*4+k -> local pid
+        # vectorized bank fill (corner-instance -> local particle lane,
+        # sorted; same argsort trick as mesh.build_incidence)
+        seg = lt_local.reshape(-1)  # corner instance i=t*4+k -> lane
         inst_order = np.argsort(seg, kind="stable")
-        counts = np.bincount(seg, minlength=nl)
+        counts = np.bincount(seg, minlength=rp)
         starts = np.cumsum(counts) - counts
         bank = np.arange(4 * mt, dtype=np.int64) - np.repeat(starts, counts)
         tt = inst_order // 4
         kk = inst_order % 4
         inc[bank, p, seg[inst_order]] = (kk * rt + tt).astype(np.int32)
-        for i, g in enumerate(locals_):
-            instances[int(g)].append(p * rp + i)
+        for i, g in zip(lanepos, locals_):
+            instances[int(g)].append(p * rp + int(i))
 
     # Completion tables, COMPACT boundary space (shared helper; every
     # lane of a boundary particle reads the completed total back from its
-    # compact boundary row; -1 marks interior/padded lanes)
+    # compact boundary row; -1 marks interior/padded lanes).  Under
+    # boundary_prefix, J=2 particles are excluded from the tiers: the
+    # partner tables below complete them with a single banded gather.
     owner_inst, bnd_inst, tier_counts, lane_bnd = completion_tables(
-        instances, n, b_pad * rp
+        instances, n, b_pad * rp, exclude_pairs=bool(r2)
     )
+    pidx, is2 = partner_tables(instances, n, b_pad, rp, r2)
 
     # global scatter denominator + movable mask (polar engine semantics)
     den = np.zeros(n, np.float64)
@@ -287,8 +392,9 @@ def build_pieces_schedule(
         owner_inst=owner_inst, bnd_inst=bnd_inst,
         tier_counts=tier_counts, lane_bnd=lane_bnd,
         invden=invden, movw=movw, inv_mass=np.asarray(im, np.float32),
+        pidx=pidx, is2=is2,
         num_particles=n, num_tets=m, n_pieces=n_pieces, B=b_pad,
-        rp=rp, rt=rt, valence=kmax,
+        rp=rp, rt=rt, rb=rb, r2=r2, valence=kmax,
         gather_tiles=tile_lists(ids, rt),
         scatter_tiles=tile_lists(inc, rp),
     )
@@ -470,6 +576,8 @@ class PiecesArrays:
     B: int = struct.field(pytree_node=False)
     rp: int = struct.field(pytree_node=False)
     rt: int = struct.field(pytree_node=False)
+    rb: int = struct.field(pytree_node=False)
+    r2: int = struct.field(pytree_node=False)
     valence: int = struct.field(pytree_node=False)
     t_tiles: int = struct.field(pytree_node=False)
     tier_counts: tuple = struct.field(pytree_node=False)
@@ -487,6 +595,8 @@ class PiecesArrays:
     owner_inst: jnp.ndarray = None    # i32 [N]
     bnd_inst: jnp.ndarray = None      # i32 [Jmax, Sb]
     lane_bnd: jnp.ndarray = None      # i32 [B*rp] (-1 interior)
+    pidx: jnp.ndarray = None          # i32 [B, r2] J=2 partner flat lane
+    is2: jnp.ndarray = None           # bool [B, r2]
     # LOCAL per-lane constant planes (the substep never touches global
     # arrays — minimizing gathered rows is the whole game, see build)
     invden_l: jnp.ndarray = None  # f32 [B, rp]
@@ -500,8 +610,11 @@ def build_pieces_arrays(
     density: float = 1000.0,
     tets_per_piece: int = 2048,
     pinned=None,
+    boundary_prefix: bool = False,
 ) -> PiecesArrays:
-    s = build_pieces_schedule(mesh, density, tets_per_piece, pinned)
+    s = build_pieces_schedule(
+        mesh, density, tets_per_piece, pinned, boundary_prefix
+    )
     im = s.inv_mass  # computed by the schedule's rest_state pass already
     n = s.num_particles
     invden_pad = np.concatenate([s.invden, np.zeros(1, np.float32)])
@@ -509,7 +622,7 @@ def build_pieces_arrays(
     return PiecesArrays(
         num_particles=n,
         num_tets=s.num_tets,
-        B=s.B, rp=s.rp, rt=s.rt, valence=s.valence,
+        B=s.B, rp=s.rp, rt=s.rt, rb=s.rb, r2=s.r2, valence=s.valence,
         t_tiles=max(1, min(4, s.rt // 128)),
         tier_counts=s.tier_counts,
         gather_tiles=s.gather_tiles,
@@ -524,6 +637,8 @@ def build_pieces_arrays(
         owner_inst=jnp.asarray(s.owner_inst),
         bnd_inst=jnp.asarray(s.bnd_inst),
         lane_bnd=jnp.asarray(s.lane_bnd),
+        pidx=jnp.asarray(s.pidx),
+        is2=jnp.asarray(s.is2),
         invden_l=jnp.asarray(invden_pad[s.g2l]),
         movw_l=jnp.asarray(movw_pad[s.g2l]),
         pid_l=jnp.asarray(s.g2l),
@@ -565,18 +680,60 @@ def _substep_local(carry, arr: PiecesArrays, params, dt, controls, call):
     # on [*,3]-wide rows: measured 4.05 ns/row vs 7.14 for single-f32
     # rows — 5x cheaper per element (see BENCHNOTES round 3).
     sb = arr.bnd_inst.shape[1]
-    if sb and arr.tier_counts:
-        shared = arr.lane_bnd.reshape(arr.B, arr.rp) >= 0
+    has_tiers = bool(sb and arr.tier_counts)
+    if has_tiers or arr.r2:
         numf3 = jnp.stack(
             [numx.reshape(-1), numy.reshape(-1), numz.reshape(-1)], axis=-1
         )
+    if arr.r2:
+        # J=2 band: one partner gather completes the dominant sharing
+        # case (f32 a+b is commutative -> both replicas bitwise equal,
+        # and equal to the tier scheme's inst0+inst1)
+        back2 = numf3[arr.pidx]  # [B, r2, 3]
+        numx = numx.at[:, : arr.r2].set(
+            jnp.where(arr.is2, numx[:, : arr.r2] + back2[..., 0],
+                      numx[:, : arr.r2])
+        )
+        numy = numy.at[:, : arr.r2].set(
+            jnp.where(arr.is2, numy[:, : arr.r2] + back2[..., 1],
+                      numy[:, : arr.r2])
+        )
+        numz = numz.at[:, : arr.r2].set(
+            jnp.where(arr.is2, numz[:, : arr.r2] + back2[..., 2],
+                      numz[:, : arr.r2])
+        )
+    if has_tiers:
         tot = numf3[arr.bnd_inst[0]]  # [Sb, 3]
         for j, c in enumerate(arr.tier_counts[1:], start=1):
             tot = tot.at[:c].add(numf3[arr.bnd_inst[j, :c]])
-        back = tot[jnp.maximum(arr.lane_bnd, 0)]  # [B*rp, 3]
-        numx = jnp.where(shared, back[:, 0].reshape(arr.B, arr.rp), numx)
-        numy = jnp.where(shared, back[:, 1].reshape(arr.B, arr.rp), numy)
-        numz = jnp.where(shared, back[:, 2].reshape(arr.B, arr.rp), numz)
+        lbm = arr.lane_bnd.reshape(arr.B, arr.rp)
+        if arr.r2 or arr.rb < arr.rp:
+            # banded layout: lanes needing the tier read-back live only
+            # in [r2:rb) — interior/J2 rows were pure waste
+            lb = lbm[:, arr.r2 : arr.rb]
+            shared = lb >= 0
+            back = tot[jnp.maximum(lb, 0)]  # [B, rb-r2, 3]
+            numx = numx.at[:, arr.r2 : arr.rb].set(
+                jnp.where(shared, back[..., 0], numx[:, arr.r2 : arr.rb])
+            )
+            numy = numy.at[:, arr.r2 : arr.rb].set(
+                jnp.where(shared, back[..., 1], numy[:, arr.r2 : arr.rb])
+            )
+            numz = numz.at[:, arr.r2 : arr.rb].set(
+                jnp.where(shared, back[..., 2], numz[:, arr.r2 : arr.rb])
+            )
+        else:
+            shared = lbm >= 0
+            back = tot[jnp.maximum(arr.lane_bnd, 0)]  # [B*rp, 3]
+            numx = jnp.where(
+                shared, back[:, 0].reshape(arr.B, arr.rp), numx
+            )
+            numy = jnp.where(
+                shared, back[:, 1].reshape(arr.B, arr.rp), numy
+            )
+            numz = jnp.where(
+                shared, back[:, 2].reshape(arr.B, arr.rp), numz
+            )
 
     lx = jnp.where(movable, lx + numx * arr.invden_l, lx)
     ly = jnp.where(movable, ly + numy * arr.invden_l, ly)
