@@ -315,10 +315,11 @@ def _bench_scale_1m_nh_unstructured():
     """VERDICT r4 item 1: reference-fidelity Neo-Hookean GS on a single
     connected UNSTRUCTURED ~1M-tet mesh (an irregular blob — no grid
     stencil applies), sustained packed piece planes
-    (kernels/nh_pieces.py).  Measured 5.53 ms/substep in round 5 vs the
-    generic colored engine's ~82 ms on this shape.  Host-side schedule
-    build is ~10 s; the Mosaic compile is one-time (persistent cache).
-    Returns ms/substep or None."""
+    (kernels/nh_pieces.py).  Measured 3.845 ms/substep in round 5 with
+    the banded [J2|J>=3|interior] lane layout (5.53 default layout) vs
+    the generic colored engine's ~82 ms on this shape.  Host-side
+    schedule build is ~6 s; the Mosaic compile is one-time (persistent
+    cache).  Returns ms/substep or None."""
     import jax
     import tetsim_tpu as ts
     from tetsim_tpu.kernels.nh_pieces import (
@@ -326,7 +327,7 @@ def _bench_scale_1m_nh_unstructured():
     )
 
     blob = ts.ellipsoid_mesh(68, radii=(0.68,) * 3, center=(0.0, 0.75, 0.0))
-    arr = build_nh_pieces_arrays(blob)
+    arr = build_nh_pieces_arrays(blob, boundary_prefix=True)
     params = ts.PhysicsParams(num_substeps=1)
     controls = ts.Controls.none()
     pack, step, unpack, _ = make_nh_pieces_stepper(arr, interpret=False)

@@ -26,6 +26,20 @@ def main():
     if os.environ.get("TETSIM_PLATFORM"):
         # explicit override (the host sitecustomize may ignore JAX_PLATFORMS)
         jax.config.update("jax_platforms", os.environ["TETSIM_PLATFORM"])
+    try:
+        # share bench.py's persistent cache: the 1M-tet Mosaic monoliths
+        # cost minutes of one-time compile per (shape, layout) — cached,
+        # re-runs (and the driver's bench.py, for shared shapes) skip it
+        cache = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    except Exception as e:
+        print(f"compile cache unavailable ({e})", file=sys.stderr)
     import tetsim_tpu as ts
     from tetsim_tpu.solvers import get_engine
 

@@ -39,7 +39,11 @@ implementation of the identical two-level schedule
 (tests/test_nh_pieces.py); stability is soak-tested with drops and grabs.
 
 Measured (round 5, real chip): 987,090-tet irregular blob, sustained
-packed planes: 5.53 ms/substep = 181 Hz — 15x the generic colored engine
+packed planes: 5.53 ms/substep = 181 Hz default layout, **3.845 ms =
+260 Hz with boundary_prefix=True** (the banded [J2|J>=3|interior] lane
+layout — 1.44x despite 3.36x-vs-2.24x lane duplication, because the
+dominant J=2 boundary case completes with ONE partner gather and the
+tier sum shrinks to the J>=3 band) — 21x the generic colored engine
 (~82 ms on this shape) and faster than polar_pieces (6.56 ms).  Mosaic
 lowering matches interpret mode BITWISE.  Divergence from any ONE global
 GS order is bounded only on small meshes: at 25k tets two valid orders
